@@ -1,0 +1,64 @@
+"""Motion imitation CLI (reference ``run_imitator.py:214-241``).
+
+    python -m impersonator_tpu.cli.run_imitator \
+        --src_path path/to/src.jpg --tgt_path path/to/frames_dir \
+        --output_dir ./outputs/results [--post_tune] [--front_warp]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from impersonator_tpu.config import TestConfig, from_args
+from impersonator_tpu.tasks.imitator import Imitator
+from impersonator_tpu.utils import cv_utils
+from impersonator_tpu.utils.video import frames_to_mp4
+
+
+def collect_frames(tgt_path: str):
+    if os.path.isdir(tgt_path):
+        return sorted(
+            p for p in glob.glob(os.path.join(tgt_path, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png")))
+    return [tgt_path]
+
+
+def main(argv=None):
+    cfg = from_args(TestConfig, argv)
+    cfg.save("test")
+    imitator = Imitator(cfg)
+
+    src_img = cv_utils.resize_img_hwc(
+        cv_utils.read_img(cfg.src_path), cfg.image_size)
+    imitator.personalize(src_img)
+
+    if cfg.post_tune:
+        from impersonator_tpu.tasks.post_tune import adaptive_personalize
+        adaptive_personalize(imitator)
+
+    frames = collect_frames(cfg.tgt_path)
+    tgt_imgs = np.stack([
+        cv_utils.resize_img_hwc(cv_utils.read_img(p), 224) for p in frames])
+    preds = np.asarray(imitator.inference(tgt_imgs,
+                                          cam_strategy=cfg.cam_strategy))
+
+    if cfg.save_res and cfg.output_dir:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        for p, pred in zip(frames, preds):
+            name = os.path.split(p)[-1]
+            cv_utils.save_img(pred, os.path.join(cfg.output_dir,
+                                                 "pred_" + name))
+        if len(preds) > 1:
+            try:
+                frames_to_mp4(preds, os.path.join(cfg.output_dir, "pred.mp4"))
+            except RuntimeError as e:
+                print(f"skipping video encode: {e}")
+    print(f"imitated {len(preds)} frames -> {cfg.output_dir}")
+    return preds
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Training driver.
+
+Mirrors the reference ``train.py:9-137``: epoch loop with
+G-every-step / D-every-n scheduling, timed printing, periodic visual
+dumps, latest + per-epoch checkpointing, and post-decay LR updates —
+but the step itself is ONE compiled program running on the data mesh.
+
+Usage:
+    python -m impersonator_tpu.cli.train --data_dir ... --name exp1
+    python -m impersonator_tpu.cli.train --dataset synthetic  (smoke run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from impersonator_tpu.config import TrainConfig, from_args
+from impersonator_tpu.data import DataLoader, dataset_by_name
+from impersonator_tpu.parallel import make_mesh
+from impersonator_tpu.parallel.mesh import replicate_tree
+from impersonator_tpu.tasks import trainer as trainer_mod
+from impersonator_tpu.utils import checkpoint as ckpt
+from impersonator_tpu.utils.visualizer import Visualizer
+
+
+def main(argv=None):
+    cfg = from_args(TrainConfig, argv)
+    cfg.save("train")
+    dataset_name = "synthetic" if not cfg.smpl_model else "iPER"
+
+    trainer = trainer_mod.build_trainer(cfg)
+    state = trainer.init_state()
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    state = replicate_tree(state, mesh)
+
+    dataset = dataset_by_name(dataset_name, cfg)
+    loader = DataLoader(dataset, cfg.batch_size, num_workers=cfg.n_threads,
+                        mesh=mesh)
+
+    vis = Visualizer(cfg.expr_dir())
+    step_fn = jax.jit(trainer_mod.make_train_step(trainer, train_d=True))
+    step_g_only = jax.jit(trainer_mod.make_train_step(trainer, train_d=False))
+
+    start_epoch = cfg.resolve_load_epoch()
+    if start_epoch > 0:
+        state = ckpt.load_train_state(state, cfg.expr_dir(), start_epoch)
+        state = replicate_tree(state, mesh)
+
+    total_epochs = cfg.nepochs_no_decay + cfg.nepochs_decay
+    i_step = 0
+    last_print = time.time()
+    last_save = time.time()
+    with mesh:
+        for epoch in range(start_epoch, total_epochs):
+            state = trainer.set_lr(state, trainer.epoch_lr(epoch))
+            for batch in loader:
+                train_d = (i_step % cfg.train_G_every_n_iterations) == 0
+                fn = step_fn if train_d else step_g_only
+                t0 = time.perf_counter()
+                state, metrics = fn(state, batch)
+                if time.time() - last_print > cfg.print_freq_s:
+                    jax.block_until_ready(metrics["g_total"])
+                    dt = time.perf_counter() - t0
+                    errors = {k: float(v) for k, v in metrics.items()}
+                    vis.print_current_errors(epoch, i_step, errors,
+                                             dt / cfg.batch_size)
+                    vis.log_scalars(i_step, epoch, errors)
+                    last_print = time.time()
+                if time.time() - last_save > cfg.save_latest_freq_s:
+                    ckpt.save_train_state(state, cfg.expr_dir(), "latest")
+                    last_save = time.time()
+                i_step += 1
+            ckpt.save_train_state(state, cfg.expr_dir(), epoch + 1)
+            print(f"saved epoch {epoch + 1}", flush=True)
+    print("training done.", flush=True)
+    return state
+
+
+if __name__ == "__main__":
+    main()

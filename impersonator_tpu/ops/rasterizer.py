@@ -1,0 +1,222 @@
+"""TPU-native SMPL mesh rasterizer: face-index map (fim) + barycentric
+weight map (wim).
+
+Re-designs the reference's CUDA z-buffer kernels
+(``thirdparty/neural_renderer/.../rasterize_cuda_kernel.cu:41-186``) as a
+data-parallel XLA program: instead of one CUDA thread per pixel looping
+over 13776 faces, every (pixel, face-chunk) pair is evaluated as a fused
+vector op and the z-buffer is a running masked min carried through
+``lax.scan``. Semantics are bit-matched to the CUDA kernel:
+
+* backface cull via the signed-area test (kernel 1, :57-58);
+* inverse-barycentric matrix computed in pixel-index space
+  (p = 0.5*(v*S + S - 1), kernel 1 :62-80);
+* inside test with three edge cross-products at pixel centers
+  xp=(2xi+1-S)/S (kernel 2 :115-136);
+* weights clamped to [0,1] then renormalized (:145-152);
+* perspective-corrected depth 1/zp = Σ w_k/z_k, rejected outside
+  (near, far) (:154-157);
+* strict ``<`` z-test ⇒ lowest face index wins ties (:160-170);
+* final vertical flip of all maps (rasterize.py:319-338).
+
+The fim/wim path used by the framework runs WITHOUT anti-aliasing
+(``nmr.py:277`` passes anti_aliasing=False), so no supersampling here.
+
+The rasterizer is non-differentiable by design: every consumer in the
+reference wraps it in ``torch.no_grad()`` (impersonator_trainer.py:291,
+imitator.py:82); gradients are stopped explicitly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from impersonator_tpu.ops.projection import (
+    orthographic_proj_withz_idrot,
+    look_at_on_axis,
+    DEFAULT_EYE_Z,
+)
+
+DEFAULT_NEAR = 0.1
+DEFAULT_FAR = 25.0
+
+
+def project_to_raster_space(verts, cam, faces, eye_z_value: float = DEFAULT_EYE_Z):
+    """Project SMPL verts into the renderer's raster space and gather
+    per-face vertex triples.
+
+    Mirrors SMPLRenderer.render_fim_wim's pre-rasterizer chain
+    (utils/nmr.py:263-278): weak-persp projection, y-flip into image
+    coords, on-axis look_at (a pure z-shift), vertices_to_faces gather.
+
+    verts: (B, nv, 3); cam: (B, 3); faces: (nf, 3) int32
+    Returns face_verts (B, nf, 3, 3) float.
+    """
+    proj = orthographic_proj_withz_idrot(verts, cam)
+    proj = proj * jnp.asarray([1.0, -1.0, 1.0], proj.dtype)
+    proj = look_at_on_axis(proj, eye_z_value)
+    return proj[:, faces]  # (B, nf, 3, 3)
+
+
+def _face_geometry(face_verts, image_size):
+    """Per-face constants: front-face mask and inverse-barycentric rows.
+
+    face_verts: (..., nf, 3, 3). Returns (front (..., nf) bool,
+    inv (..., nf, 3, 3)) with inv in pixel-index space.
+    """
+    x = face_verts[..., 0]
+    y = face_verts[..., 1]
+    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
+    y0, y1, y2 = y[..., 0], y[..., 1], y[..., 2]
+
+    # backface cull (rasterize_cuda_kernel.cu:57-58)
+    front = (y2 - y0) * (x1 - x0) >= (y1 - y0) * (x2 - x0)
+
+    s = float(image_size)
+    # pixel-index space: p = 0.5 * (v*S + S - 1) (kernel 1 :62-67)
+    px = 0.5 * (x * s + s - 1.0)
+    py = 0.5 * (y * s + s - 1.0)
+    p0x, p1x, p2x = px[..., 0], px[..., 1], px[..., 2]
+    p0y, p1y, p2y = py[..., 0], py[..., 1], py[..., 2]
+
+    denom = p2x * (p0y - p1y) + p0x * (p1y - p2y) + p1x * (p2y - p0y)
+    denom = jnp.where(denom == 0.0, 1.0, denom)  # degenerate faces never win
+    inv = jnp.stack(
+        [
+            jnp.stack([p1y - p2y, p2x - p1x, p1x * p2y - p2x * p1y], axis=-1),
+            jnp.stack([p2y - p0y, p0x - p2x, p2x * p0y - p0x * p2y], axis=-1),
+            jnp.stack([p0y - p1y, p1x - p0x, p0x * p1y - p1x * p0y], axis=-1),
+        ],
+        axis=-2,
+    ) / denom[..., None, None]
+    return front, inv
+
+
+@partial(jax.jit, static_argnames=("image_size", "chunk"))
+def rasterize_fim_wim(
+    face_verts: jax.Array,
+    image_size: int = 256,
+    near: float = DEFAULT_NEAR,
+    far: float = DEFAULT_FAR,
+    chunk: int = 256,
+):
+    """Rasterize triangles to (fim, wim).
+
+    face_verts: (B, nf, 3, 3) — output of :func:`project_to_raster_space`.
+    Returns:
+        fim: (B, S, S) int32, -1 where no face covers the pixel
+        wim: (B, S, S, 3) float32 barycentric weights (0 on background)
+    """
+    face_verts = jax.lax.stop_gradient(face_verts.astype(jnp.float32))
+    b, nf = face_verts.shape[0], face_verts.shape[1]
+    s = image_size
+    p = s * s
+
+    # pad faces to a multiple of chunk with never-winning sentinels
+    pad = (-nf) % chunk
+    if pad:
+        sentinel = jnp.zeros((b, pad, 3, 3), face_verts.dtype)
+        face_verts = jnp.concatenate([face_verts, sentinel], axis=1)
+    nf_pad = nf + pad
+    n_chunks = nf_pad // chunk
+
+    front, inv = _face_geometry(face_verts, s)
+    real = (jnp.arange(nf_pad) < nf)[None, :]  # (1, nf_pad)
+    front = front & real
+
+    xv = face_verts[..., 0]  # (B, nf_pad, 3)
+    yv = face_verts[..., 1]
+    zv = face_verts[..., 2]
+
+    # pixel centers in both index and normalized space
+    xi = jnp.arange(s, dtype=jnp.float32)
+    yi = jnp.arange(s, dtype=jnp.float32)
+    xig, yig = jnp.meshgrid(xi, yi)            # (S, S) row-major (y, x)
+    xif = xig.reshape(p)                       # (P,)
+    yif = yig.reshape(p)
+    xp = (2.0 * xif + 1.0 - s) / s
+    yp = (2.0 * yif + 1.0 - s) / s
+
+    # scan state: running z-buffer
+    init = (
+        jnp.full((b, p), far, jnp.float32),          # best depth
+        jnp.full((b, p), -1, jnp.int32),             # best face id
+        jnp.zeros((b, p, 3), jnp.float32),           # best weights
+    )
+
+    def reshape_chunks(a):
+        return a.reshape((b, n_chunks, chunk) + a.shape[2:]).swapaxes(0, 1)
+
+    scan_inputs = (
+        reshape_chunks(xv), reshape_chunks(yv), reshape_chunks(zv),
+        reshape_chunks(inv), reshape_chunks(front),
+        jnp.arange(n_chunks) * chunk,
+    )
+
+    def body(state, inputs):
+        cxv, cyv, czv, cinv, cfront, base = inputs
+        best_z, best_i, best_w = state
+        # (B, 1, C) vs (B, P, 1) broadcasting
+        fx0, fx1, fx2 = (cxv[..., k][:, None, :] for k in range(3))
+        fy0, fy1, fy2 = (cyv[..., k][:, None, :] for k in range(3))
+        pxp = xp[None, :, None]
+        pyp = yp[None, :, None]
+
+        # inside test (kernel 2 :131-136): pass iff all three cross terms >= 0
+        t0 = (pyp - fy0) * (fx1 - fx0) - (pxp - fx0) * (fy1 - fy0)
+        t1 = (pyp - fy1) * (fx2 - fx1) - (pxp - fx1) * (fy2 - fy1)
+        t2 = (pyp - fy2) * (fx0 - fx2) - (pxp - fx2) * (fy0 - fy2)
+        inside = (t0 >= 0) & (t1 >= 0) & (t2 >= 0)
+
+        # barycentric weights from the inverse matrix at integer pixel coords
+        pxi = xif[None, :, None]
+        pyi = yif[None, :, None]
+        w0 = cinv[..., 0, 0][:, None, :] * pxi + cinv[..., 0, 1][:, None, :] * pyi + cinv[..., 0, 2][:, None, :]
+        w1 = cinv[..., 1, 0][:, None, :] * pxi + cinv[..., 1, 1][:, None, :] * pyi + cinv[..., 1, 2][:, None, :]
+        w2 = cinv[..., 2, 0][:, None, :] * pxi + cinv[..., 2, 1][:, None, :] * pyi + cinv[..., 2, 2][:, None, :]
+        w0 = jnp.clip(w0, 0.0, 1.0)
+        w1 = jnp.clip(w1, 0.0, 1.0)
+        w2 = jnp.clip(w2, 0.0, 1.0)
+        wsum = w0 + w1 + w2
+        wsum = jnp.where(wsum == 0.0, 1.0, wsum)
+        w0, w1, w2 = w0 / wsum, w1 / wsum, w2 / wsum
+
+        inv_z = (
+            w0 / czv[..., 0][:, None, :]
+            + w1 / czv[..., 1][:, None, :]
+            + w2 / czv[..., 2][:, None, :]
+        )
+        zp = 1.0 / inv_z
+        valid = inside & cfront[:, None, :] & (zp > near) & (zp < far)
+        zp = jnp.where(valid, zp, far)
+
+        # per-chunk winner, then merge into the running buffer. argmin picks
+        # the lowest face index on ties — same as the CUDA strict < loop.
+        local_i = jnp.argmin(zp, axis=-1)                           # (B, P)
+        local_z = jnp.take_along_axis(zp, local_i[..., None], -1)[..., 0]
+        lw = jnp.stack([w0, w1, w2], axis=-1)                       # (B, P, C, 3)
+        local_w = jnp.take_along_axis(
+            lw, local_i[..., None, None], axis=-2)[..., 0, :]       # (B, P, 3)
+
+        better = local_z < best_z
+        best_w = jnp.where(better[..., None], local_w, best_w)
+        best_i = jnp.where(better, (base + local_i).astype(jnp.int32), best_i)
+        best_z = jnp.where(better, local_z, best_z)
+        return (best_z, best_i, best_w), None
+
+    (best_z, best_i, best_w), _ = jax.lax.scan(body, init, scan_inputs)
+
+    fim = best_i.reshape(b, s, s)
+    wim = best_w.reshape(b, s, s, 3)
+    # vertical flip (rasterize.py:319-338)
+    fim = fim[:, ::-1, :]
+    wim = wim[:, ::-1, :, :]
+    return fim, wim
+
+
+def render_silhouette(fim: jax.Array) -> jax.Array:
+    """Binary silhouette from a face-index map, (B, S, S) float32."""
+    return (fim >= 0).astype(jnp.float32)

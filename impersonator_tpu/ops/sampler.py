@@ -1,0 +1,105 @@
+"""Bilinear sampling/warping with PyTorch-1.2 semantics.
+
+The Liquid Warping Block and every T-based warp in the reference use
+``F.grid_sample`` under torch==1.2, whose defaults are
+``align_corners=True`` + zero padding (SURVEY §7.4); the feature-pyramid
+flow resize uses ``F.interpolate(..., align_corners=True)``
+(generator.py:303-310). Both are reproduced here exactly, NHWC.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
+    """Bilinear sample ``x`` at ``grid`` positions.
+
+    x:    (B, H, W, C)
+    grid: (B, Ho, Wo, 2) in [-1, 1]; grid[..., 0] = x (width) coordinate,
+          grid[..., 1] = y — the torch convention.
+    Zero padding: any corner outside the image contributes 0, so grids set
+    to -2 (the background flow) sample exactly 0.
+    """
+    b, h, w, c = x.shape
+    ho, wo = grid.shape[1], grid.shape[2]
+
+    # align_corners=True: -1 -> 0, +1 -> size-1
+    fx = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    fy = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+
+    flat = x.reshape(b, h * w, c)
+
+    def corner(xc, yc):
+        valid = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1))
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        lin = (yi * w + xi).reshape(b, ho * wo)
+        vals = jnp.take_along_axis(flat, lin[..., None], axis=1)
+        vals = vals.reshape(b, ho, wo, c)
+        return vals * valid[..., None]
+
+    v00 = corner(x0, y0)
+    v01 = corner(x0 + 1, y0)
+    v10 = corner(x0, y0 + 1)
+    v11 = corner(x0 + 1, y0 + 1)
+
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear_align(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=True, NHWC.
+
+    Equivalent to torch F.interpolate(mode='bilinear', align_corners=True).
+    """
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+
+    def axis_coords(n_in, n_out):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+    fy = axis_coords(h, out_h)
+    fx = axis_coords(w, out_w)
+
+    def interp_axis(arr, coords, axis):
+        lo = jnp.floor(coords).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, arr.shape[axis] - 1)
+        t = (coords - lo).reshape([-1 if i == axis else 1 for i in range(arr.ndim)])
+        a = jnp.take(arr, lo, axis=axis)
+        b_ = jnp.take(arr, hi, axis=axis)
+        return a * (1 - t) + b_ * t
+
+    x = interp_axis(x, fy, axis=1)
+    x = interp_axis(x, fx, axis=2)
+    return x
+
+
+def resize_flow(t: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Resize a flow field T (B, H, W, 2) to feature resolution.
+
+    Matches ImpersonatorGenerator.resize_trans (generator.py:303-310):
+    channel-wise bilinear with align_corners=True; values are positions in
+    [-1, 1] so no magnitude rescaling is needed.
+    """
+    return resize_bilinear_align(t, out_h, out_w)
+
+
+def warp_feature(x: jax.Array, t: jax.Array) -> jax.Array:
+    """Liquid Warping Block primitive: resize T to x's spatial dims and
+    bilinearly warp (generator.py:312-320)."""
+    b, h, w, c = x.shape
+    return grid_sample(x, resize_flow(t, h, w))

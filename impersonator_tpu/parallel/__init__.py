@@ -1,0 +1,8 @@
+"""Device-mesh setup and sharding rules (pjit / NamedSharding)."""
+
+from impersonator_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_sharding,
+)

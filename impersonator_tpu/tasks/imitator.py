@@ -1,0 +1,267 @@
+"""Motion imitation (the flagship task).
+
+Re-design of the reference ``models/imitator.py:14-342``. The torch
+version processes one frame per python iteration (HMR → rasterize →
+flow → generator decode). Here the whole per-frame pipeline is ONE jitted
+function, and frames batch along the leading axis — on TPU the batch axis
+is also the data-parallel mesh axis, so a video shards across chips with
+no further changes (SURVEY §2.3).
+
+Split into:
+* pure jittable cores: :func:`personalize_core`, :func:`imitate_core`
+  (everything device-side, static shapes);
+* the :class:`Imitator` driver holding network params + source state and
+  exposing the reference's API (`personalize`, `inference`,
+  `inference_by_smpls`, `swap_smpl` strategies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from impersonator_tpu.assets import SMPLAssets
+from impersonator_tpu.config import TestConfig
+from impersonator_tpu.models import (
+    HumanModelRecovery,
+    ImpersonatorGenerator,
+    InpaintSANet,
+)
+from impersonator_tpu.ops import morphology, smpl as smpl_ops
+from impersonator_tpu.ops.sampler import grid_sample
+from impersonator_tpu.tasks.renderer import SMPLRenderer
+
+
+@dataclasses.dataclass
+class ImitatorNets:
+    """Network definitions + parameters (a plain pytree container)."""
+
+    generator: ImpersonatorGenerator
+    gen_params: Any
+    hmr: HumanModelRecovery
+    hmr_params: Any
+    bgnet: Optional[InpaintSANet] = None     # deepfillv2 when bg_model != ORIGINAL
+    bgnet_params: Any = None
+
+
+def build_nets(cfg: TestConfig, assets: SMPLAssets, rng=None) -> ImitatorNets:
+    """Construct networks with either loaded or freshly-initialized params.
+
+    (Checkpoint loading lives in utils.checkpoint; random init keeps every
+    test/bench self-contained.)
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    cond_nc = 3  # uv_seg conditioning (models.py:85-94 via map_name)
+    gen = ImpersonatorGenerator(bg_dim=4, src_dim=3 + cond_nc,
+                                tsf_dim=3 + cond_nc,
+                                repeat_num=cfg.repeat_num)
+    s = cfg.image_size
+    k1, k2, k3 = jax.random.split(rng, 3)
+    gen_params = gen.init(
+        k1, jnp.zeros((1, s, s, 4)), jnp.zeros((1, s, s, 6)),
+        jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 2)))
+
+    hmr = HumanModelRecovery()
+    hmr_params = hmr.init(k2, jnp.zeros((1, 224, 224, 3)))
+    # regressor starts from the canonical mean theta (hmr.py:188-210)
+    hmr_params = jax.tree_util.tree_map(lambda x: x, hmr_params)
+    hmr_params["params"]["regressor"]["mean_theta"] = jnp.asarray(
+        assets.mean_theta)
+
+    bgnet = bg_params = None
+    if cfg.bg_model != "ORIGINAL":
+        bgnet = InpaintSANet(c_dim=4)
+        bg_params = bgnet.init(
+            k3, jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 1)))
+    return ImitatorNets(gen, gen_params, hmr, hmr_params, bgnet, bg_params)
+
+
+def swap_smpl(src_cam, src_shape, tgt_smpl, first_cam, cam_strategy="smooth"):
+    """Keep source identity (cam/shape), take target pose
+    (imitator.py:216-234).
+
+    * smooth: source cam + (tgt - first_tgt) xy delta
+    * source: source cam
+    * copy:   target cam
+    """
+    tgt_cam = tgt_smpl[:, 0:3]
+    pose = tgt_smpl[:, 3:75]
+    n = tgt_cam.shape[0]
+    src_cam = jnp.broadcast_to(src_cam, (n, 3))
+    if cam_strategy == "smooth":
+        delta_xy = tgt_cam[:, 1:] - first_cam[:, 1:]
+        cam = jnp.concatenate([src_cam[:, 0:1], src_cam[:, 1:] + delta_xy], axis=1)
+    elif cam_strategy == "source":
+        cam = src_cam
+    else:
+        cam = tgt_cam
+    src_shape = jnp.broadcast_to(src_shape, (pose.shape[0], src_shape.shape[-1]))
+    return jnp.concatenate([cam, pose, src_shape], axis=1)
+
+
+# --------------------------------------------------------------------------
+# Jittable cores
+# --------------------------------------------------------------------------
+
+def personalize_core(nets: ImitatorNets, renderer: SMPLRenderer,
+                     smpl_params: smpl_ops.SMPLParams, parents,
+                     img, src_theta, bg_ks: int, ft_ks: int,
+                     only_vis: bool = False):
+    """Device-side personalization (imitator.py:83-145, sans file IO).
+
+    img: (1, S, S, 3) in [-1, 1]. Returns the cached source state dict.
+    """
+    info = smpl_ops.get_details(smpl_params, src_theta, parents)
+    f2verts, fim, wim = renderer.render_fim_wim(info["cam"], info["verts"])
+    p2verts = renderer.f2pts_from_f2verts(f2verts)
+    if only_vis:
+        p2verts = renderer.get_vis_f2pts(p2verts, fim)
+    cond = renderer.encode_fim(fim)  # (1, S, S, 3)
+
+    bg_mask = morphology.morph(cond[..., -1:], ks=bg_ks, mode="erode")
+    body_mask = 1.0 - bg_mask
+    if nets.bgnet is not None:
+        bg_img = nets.bgnet.apply(nets.bgnet_params, img, body_mask, only_x=True)
+    else:
+        bg_inputs = jnp.concatenate([img * bg_mask, bg_mask], axis=-1)
+        bg_img = nets.generator.apply(nets.gen_params, bg_inputs,
+                                      method="run_bg")
+
+    ft_mask = 1.0 - morphology.morph(cond[..., -1:], ks=ft_ks, mode="erode")
+    src_inputs = jnp.concatenate([img * ft_mask, cond], axis=-1)
+    feats = nets.generator.apply(nets.gen_params, src_inputs,
+                                 method="encode_src")
+    return {
+        "theta": info["theta"], "cam": info["cam"], "shape": info["shape"],
+        "pose": info["pose"], "j2d": info["j2d"],
+        "fim": fim, "wim": wim, "cond": cond, "p2verts": p2verts,
+        "img": img, "bg": bg_img, "feats": feats,
+    }
+
+
+def imitate_core(nets: ImitatorNets, renderer: SMPLRenderer,
+                 smpl_params: smpl_ops.SMPLParams, parents,
+                 src_state, tsf_theta, front_warp: bool = False):
+    """One (batched) imitation step given the already-swapped tsf theta.
+
+    tsf_theta: (N, 85). Source feats are cached for batch 1 and broadcast
+    over the frame axis (generator.inference path, imitator.py:326-336).
+    Returns preds (N, S, S, 3) in [-1, 1].
+    """
+    n = tsf_theta.shape[0]
+    info = smpl_ops.get_details(smpl_params, tsf_theta, parents)
+    _, fim, wim = renderer.render_fim_wim(info["cam"], info["verts"])
+    cond = renderer.encode_fim(fim)
+
+    p2verts = jnp.broadcast_to(
+        src_state["p2verts"], (n,) + src_state["p2verts"].shape[1:])
+    t = renderer.cal_bc_transform(p2verts, fim, wim)
+
+    src_img = jnp.broadcast_to(src_state["img"], (n,) + src_state["img"].shape[1:])
+    tsf_img = grid_sample(src_img, t)
+    tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
+
+    enc, res = src_state["feats"]
+    enc = [jnp.broadcast_to(e, (n,) + e.shape[1:]) for e in enc]
+    res = [jnp.broadcast_to(r, (n,) + r.shape[1:]) for r in res]
+    tsf_color, tsf_mask = nets.generator.apply(
+        nets.gen_params, enc, res, tsf_inputs, t, method="inference")
+
+    bg = jnp.broadcast_to(src_state["bg"], (n,) + src_state["bg"].shape[1:])
+    preds = tsf_mask * bg + (1.0 - tsf_mask) * tsf_color
+
+    if front_warp:
+        # paste the warped source face over the synthesized head
+        # (imitator.warp_front, imitator.py:338-342)
+        front_mask = renderer.encode_front_fim(fim, front_fn=True)
+        preds = (1 - front_mask) * preds + tsf_img * front_mask * (1 - tsf_mask)
+    return preds
+
+
+# --------------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------------
+
+class Imitator:
+    """Reference-parity driver (models/imitator.py)."""
+
+    def __init__(self, cfg: TestConfig, assets: SMPLAssets | None = None,
+                 nets: ImitatorNets | None = None):
+        self.cfg = cfg
+        self.assets = assets if assets is not None else cfg.assets()
+        self.renderer = SMPLRenderer.create(
+            self.assets, image_size=cfg.image_size, map_name="uv_seg",
+            tex_size=cfg.tex_size, has_front=cfg.front_warp)
+        self.smpl_params = smpl_ops.SMPLParams.from_assets(self.assets)
+        self.parents = self.assets.parents
+        self.nets = nets if nets is not None else build_nets(cfg, self.assets)
+        self.src_info = None
+        self.first_cam = None
+
+        self._personalize_jit = jax.jit(
+            partial(personalize_core, self.nets, self.renderer,
+                    self.smpl_params, self.parents,
+                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis))
+        self._imitate_jit = jax.jit(
+            partial(imitate_core, self.nets, self.renderer,
+                    self.smpl_params, self.parents,
+                    front_warp=cfg.front_warp))
+        self._hmr_jit = jax.jit(
+            lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
+
+    # --- HMR -----------------------------------------------------------
+
+    def regress_smpl(self, img224: np.ndarray) -> jax.Array:
+        """img224: (1, 224, 224, 3) in [-1, 1] -> theta (1, 85)."""
+        return self._hmr_jit(jnp.asarray(img224))
+
+    # --- reference API ---------------------------------------------------
+
+    def personalize(self, src_img: np.ndarray, src_smpl=None):
+        """src_img: (S, S, 3) float in [-1, 1] (resizing is host-side IO,
+        utils.cv_utils)."""
+        img = jnp.asarray(src_img, jnp.float32)[None]
+        if src_smpl is None:
+            from impersonator_tpu.utils.cv_utils import resize_img_hwc
+            img224 = resize_img_hwc(np.asarray(src_img), 224)
+            theta = self.regress_smpl(img224[None])
+        else:
+            theta = jnp.asarray(src_smpl, jnp.float32).reshape(1, 85)
+        self.src_info = self._personalize_jit(img, theta)
+        return self.src_info
+
+    def inference_by_smpls(self, tgt_smpls, cam_strategy: str = "smooth",
+                           batch: int = 8):
+        """tgt_smpls: (N, 85) array-like. Returns preds (N, S, S, 3).
+
+        Frames run in fixed-size batches through one compiled program —
+        the TPU replacement for the reference's per-frame python loop
+        (imitator.py:158-189)."""
+        assert self.src_info is not None, "call personalize() first"
+        smpls = jnp.asarray(np.asarray(tgt_smpls, np.float32))
+        n = smpls.shape[0]
+        self.first_cam = smpls[0:1, 0:3]
+        tsf = swap_smpl(self.src_info["cam"], self.src_info["shape"],
+                        smpls, self.first_cam, cam_strategy)
+        outs = []
+        pad = (-n) % batch
+        if pad:
+            tsf = jnp.concatenate([tsf, jnp.repeat(tsf[-1:], pad, axis=0)])
+        for i in range(0, n + pad, batch):
+            outs.append(self._imitate_jit(self.src_info, tsf[i:i + batch]))
+        return jnp.concatenate(outs, axis=0)[:n]
+
+    def inference(self, tgt_imgs224, cam_strategy: str = "smooth", batch: int = 8):
+        """tgt_imgs224: (N, 224, 224, 3) in [-1, 1]; runs HMR per batch then
+        imitates."""
+        thetas = []
+        arr = jnp.asarray(np.asarray(tgt_imgs224, np.float32))
+        for i in range(0, arr.shape[0], batch):
+            thetas.append(self._hmr_jit(arr[i:i + batch]))
+        return self.inference_by_smpls(
+            jnp.concatenate(thetas, axis=0), cam_strategy, batch)

@@ -1,0 +1,136 @@
+"""Renderer facade: the device-side state + pure functions that every
+task shares.
+
+This is the TPU-native replacement for the reference's ``SMPLRenderer``
+module (utils/nmr.py:103-663): an immutable bundle of constant arrays
+(faces, map-function tables, UV samplers) plus jit-friendly methods that
+compose ``ops.rasterizer`` / ``ops.flow``. There is no hidden state — all
+methods are pure in (state, inputs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from impersonator_tpu.assets import SMPLAssets
+from impersonator_tpu.ops import flow as flow_ops
+from impersonator_tpu.ops import rasterizer as rast
+from impersonator_tpu.ops.projection import DEFAULT_EYE_Z, eye_z
+from impersonator_tpu.ops.sampler import grid_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class SMPLRenderer:
+    """Constant renderer state. Construct once per task via ``create``."""
+
+    faces: jax.Array          # (nf, 3) int32
+    map_fn: jax.Array         # (nf+1, C) — default conditioning encoding
+    back_map_fn: jax.Array    # (nf+1, 1)
+    front_map_fn: jax.Array | None
+    f2uvs: jax.Array          # (nf, 3, 2)
+    image_size: int = 256
+    tex_size: int = 3
+    near: float = rast.DEFAULT_NEAR
+    far: float = rast.DEFAULT_FAR
+    eye_z_value: float = DEFAULT_EYE_Z
+
+    @classmethod
+    def create(cls, assets: SMPLAssets, image_size: int = 256,
+               map_name: str = "uv_seg", tex_size: int = 3,
+               has_front: bool = False, viewing_angle: float = 30.0):
+        """Mirrors SMPLRenderer.__init__ (nmr.py:104-177)."""
+        return cls(
+            faces=jnp.asarray(assets.faces, jnp.int32),
+            map_fn=jnp.asarray(assets.map_fn(map_name)),
+            back_map_fn=jnp.asarray(assets.map_fn("back")),
+            front_map_fn=(jnp.asarray(assets.map_fn("front"))
+                          if has_front else None),
+            f2uvs=jnp.asarray(assets.f2uvs),
+            image_size=image_size,
+            tex_size=tex_size,
+            eye_z_value=eye_z(viewing_angle),
+        )
+
+    # -- geometry ----------------------------------------------------------
+
+    def render_fim_wim(self, cam, verts):
+        """(cam (B,3), verts (B,nv,3)) -> (f2verts, fim, wim)
+        (nmr.py:263-278). f2verts is in raster space; use
+        :meth:`f2pts_from_f2verts` for source-image coordinates."""
+        f2verts = rast.project_to_raster_space(
+            verts, cam, self.faces, self.eye_z_value)
+        fim, wim = rast.rasterize_fim_wim(
+            f2verts, self.image_size, self.near, self.far)
+        return f2verts, fim, wim
+
+    @staticmethod
+    def f2pts_from_f2verts(f2verts):
+        """xy of projected face verts with y back in image-up convention
+        (imitator.py:106-107: p2verts = f2verts[..., :2]; y *= -1)."""
+        return f2verts[..., 0:2] * jnp.asarray([1.0, -1.0], f2verts.dtype)
+
+    # -- encodings -----------------------------------------------------------
+
+    def encode_fim(self, fim, map_fn=None):
+        """fim -> conditioning map, NHWC (encode_fim, nmr.py:328-341)."""
+        return flow_ops.encode_fim(fim, self.map_fn if map_fn is None else map_fn)
+
+    def encode_front_fim(self, fim, front_fn: bool = True):
+        """(encode_front_fim, nmr.py:343-352)."""
+        table = self.front_map_fn if front_fn else self.back_map_fn
+        if table is None:
+            raise ValueError("renderer built without front map (has_front=False)")
+        return flow_ops.encode_fim(fim, table)
+
+    # -- flow ----------------------------------------------------------------
+
+    def cal_bc_transform(self, src_f2pts, dst_fim, dst_wim):
+        return flow_ops.correspondence_flow(src_f2pts, dst_fim, dst_wim)
+
+    def get_vis_f2pts(self, f2pts, fim):
+        return flow_ops.visible_f2pts(f2pts, fim)
+
+    def set_null_f2pts(self, f2pts, fim):
+        return flow_ops.null_visible_f2pts(f2pts, fim)
+
+    # -- texture (debug / texture-warp ablation) ------------------------------
+
+    def dynamic_sampler_grid(self, cam, verts):
+        """Per-face T×T barycentric sample positions on the source image,
+        (B, nf, T*T, 2) — SMPLRenderer.dynamic_sampler (nmr.py:382-388)."""
+        from impersonator_tpu.ops.smpl import batch_orth_proj_idrot
+        pts = batch_orth_proj_idrot(verts, cam)       # (B, nv, 2)
+        fpts = pts[:, self.faces]                      # (B, nf, 3, 2)
+        t = self.tex_size
+        step = 1.0 if t == 1 else 1.0 / (t - 1)
+        ab = jnp.arange(0.0, 1.0 + step, step)[:t]
+        av, bv = jnp.meshgrid(ab, ab, indexing="ij")
+        coords = jnp.stack([av.reshape(-1), bv.reshape(-1)], axis=0)  # (2, T*T)
+        v2 = fpts[:, :, 2]
+        edges = jnp.stack([fpts[:, :, 0] - v2, fpts[:, :, 1] - v2], axis=-1)
+        samples = jnp.einsum("bfce,et->bfct", edges, coords) + v2[..., None]
+        return jnp.clip(samples.transpose(0, 1, 3, 2), -1.0, 1.0)
+
+    def extract_texture(self, images, cam, verts):
+        """Sample per-face texels from an image (extract_tex_from_image,
+        nmr.py:354-380). Returns (B, nf, T*T, 3)."""
+        sampler = self.dynamic_sampler_grid(cam, verts)  # (B, nf, T*T, 2)
+        b, nf, tt, _ = sampler.shape
+        grid = sampler.reshape(b, nf, tt, 2)
+        return grid_sample(images, grid.reshape(b, nf * tt, 1, 2)).reshape(
+            b, nf, tt, images.shape[-1])
+
+
+def batched_pinned(state: SMPLRenderer):
+    """Convenience: jitted (cam, verts) -> (f2verts, fim, wim) closure."""
+
+    @jax.jit
+    def run(cam, verts):
+        return state.render_fim_wim(cam, verts)
+
+    return run

@@ -1,0 +1,149 @@
+"""Appearance transfer ("swapper").
+
+Re-design of ``models/swapper.py:15-271``: personalize both source and
+target, build the dual flows — T11 (identity grid restricted to the kept
+source parts) and T21 (target→source correspondence restricted to the
+swapped parts) — and decode through the generator's dual-source LWB
+(``generator.swap``). The part machinery runs on the 11-channel 'par'
+face encoding (utils/mesh.py:288-318).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from impersonator_tpu.assets import SMPLAssets
+from impersonator_tpu.config import TestConfig
+from impersonator_tpu.ops import flow as flow_ops
+from impersonator_tpu.ops import smpl as smpl_ops
+from impersonator_tpu.ops.sampler import grid_sample
+from impersonator_tpu.tasks import imitator as imitator_mod
+from impersonator_tpu.tasks.renderer import SMPLRenderer
+
+# part-channel groups over the sorted 'par' encoding (swapper.py:17-20)
+PART_IDS = {
+    "body": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+    "all": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
+}
+
+
+def swap_smpl_preserve_scale(src_cam, src_shape, tgt_smpl):
+    """Take target pose, keep source scale/shape; re-center translation by
+    the scale ratio (Swapper.swap_smpl, swapper.py:242-256)."""
+    tgt_cam = tgt_smpl[:, 0:3]
+    pose = tgt_smpl[:, 3:75]
+    scale = src_cam[:, 0:1]
+    trans = (src_cam[:, 0:1] / tgt_cam[:, 0:1]) * tgt_cam[:, 1:] + src_cam[:, 1:]
+    cam = jnp.concatenate([scale, trans], axis=1)
+    return jnp.concatenate([cam, pose, src_shape], axis=1)
+
+
+def swap_core(nets, renderer: SMPLRenderer, src_state, tgt_state,
+              left_faces: np.ndarray, selected_ids, left_ids,
+              front_warp: bool = False):
+    """Jittable swap step (Swapper.swap + calculate_trans + forward,
+    swapper.py:199-271). left_faces is a static index array."""
+    s = renderer.image_size
+    part_src = src_state["part"]  # (1, S, S, 11)
+
+    sel_idx = np.asarray(selected_ids, np.int32)
+    left_idx = np.asarray(left_ids, np.int32)
+    src_part_mask = (jnp.sum(part_src[..., sel_idx], -1) != 0)
+    if left_idx.size:
+        src_left_mask = (jnp.sum(part_src[..., left_idx], -1) != 0)
+    else:
+        src_left_mask = jnp.zeros_like(src_part_mask)
+
+    # T11: identity grid on kept parts (calculate_trans, :242-253)
+    grid = flow_ops.identity_flow(1, s)
+    t11 = jnp.where(src_left_mask[..., None], grid, flow_ops.BG_FLOW)
+
+    # T21: target p2verts with kept-part faces nulled, mapped through the
+    # SOURCE's fim/wim
+    tsf_f2p = tgt_state["p2verts"]
+    if left_faces.size:
+        tsf_f2p = tsf_f2p.at[:, jnp.asarray(left_faces)].set(flow_ops.BG_FLOW)
+    t21 = renderer.cal_bc_transform(tsf_f2p, src_state["fim"], src_state["wim"])
+    t21 = jnp.clip(t21, -2.0, 2.0)
+
+    tsf21 = grid_sample(tgt_state["img"], t21)
+    tsf11 = grid_sample(src_state["img"], t11)
+    tsf_img = (tsf21 * src_part_mask[..., None].astype(tsf21.dtype)
+               + tsf11 * src_left_mask[..., None].astype(tsf11.dtype))
+    tsf_inputs = jnp.concatenate([tsf_img, src_state["cond"]], axis=-1)
+
+    enc21, res21 = tgt_state["feats"]
+    enc11, res11 = src_state["feats"]
+    tsf_color, tsf_mask = nets.generator.apply(
+        nets.gen_params, tsf_inputs, enc21, enc11, res21, res11, t21, t11,
+        method="swap")
+    preds = tsf_mask * src_state["bg"] + (1 - tsf_mask) * tsf_color
+
+    if front_warp:
+        front_mask = renderer.encode_front_fim(src_state["fim"], front_fn=True)
+        preds = (1 - front_mask) * preds + src_state["img"] * front_mask * (1 - tsf_mask)
+    return preds
+
+
+class Swapper:
+    """Reference-parity driver (models/swapper.py)."""
+
+    def __init__(self, cfg: TestConfig, assets: SMPLAssets | None = None,
+                 nets=None):
+        self.cfg = cfg
+        self.assets = assets if assets is not None else cfg.assets()
+        self.renderer = SMPLRenderer.create(
+            self.assets, image_size=cfg.image_size, map_name="uv_seg",
+            tex_size=cfg.tex_size, has_front=cfg.front_warp)
+        self.part_fn = jnp.asarray(self.assets.map_fn("par"))
+        part_faces = self.assets.part_face_ids("par")
+        self.part_faces = [part_faces[k] for k in sorted(part_faces.keys())]
+        self.smpl_params = smpl_ops.SMPLParams.from_assets(self.assets)
+        self.parents = self.assets.parents
+        self.nets = (nets if nets is not None
+                     else imitator_mod.build_nets(cfg, self.assets))
+        self.src_info = None
+        self.tsf_info = None
+
+        self._personalize_jit = jax.jit(
+            partial(imitator_mod.personalize_core, self.nets, self.renderer,
+                    self.smpl_params, self.parents,
+                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis))
+        self._hmr_jit = jax.jit(
+            lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
+
+    def personalize(self, img: np.ndarray, smpl=None):
+        """img: (S, S, 3) in [-1, 1]. Adds the 'par' part encoding on top
+        of the imitator personalization (swapper.py:120-129)."""
+        arr = jnp.asarray(img, jnp.float32)[None]
+        if smpl is None:
+            from impersonator_tpu.utils.cv_utils import resize_img_hwc
+            theta = self._hmr_jit(jnp.asarray(
+                resize_img_hwc(np.asarray(img), 224))[None])
+        else:
+            theta = jnp.asarray(smpl, jnp.float32).reshape(1, 85)
+        state = self._personalize_jit(arr, theta)
+        state["part"] = self.renderer.encode_fim(state["fim"], self.part_fn)
+        return state
+
+    def swap_setup(self, src_img, tgt_img, src_smpl=None, tgt_smpl=None):
+        self.src_info = self.personalize(src_img, src_smpl)
+        self.tsf_info = self.personalize(tgt_img, tgt_smpl)
+
+    def swap(self, src_info=None, tgt_info=None, target_part: str = "body"):
+        assert target_part in PART_IDS
+        src_info = src_info if src_info is not None else self.src_info
+        tgt_info = tgt_info if tgt_info is not None else self.tsf_info
+        selected = PART_IDS[target_part]
+        left = [i for i in PART_IDS["all"] if i not in selected]
+        left_faces = (np.unique(np.concatenate(
+            [self.part_faces[i] for i in left])) if left
+            else np.zeros((0,), np.int64))
+        return swap_core(self.nets, self.renderer, src_info, tgt_info,
+                         left_faces, tuple(selected), tuple(left),
+                         front_warp=self.cfg.front_warp)

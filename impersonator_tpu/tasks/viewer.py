@@ -1,0 +1,120 @@
+"""Novel view synthesis.
+
+Re-design of ``models/viewer.py:13-314``: personalize a source image,
+then for each requested (R, t) rotate the SMPL vertices, re-rasterize
+fim/wim under the SOURCE camera, rebuild the flow and decode against the
+cached source features. A yaw sweep batches all angles through one
+compiled call — each view is independent, so views shard across the data
+mesh like frames do.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from impersonator_tpu.assets import SMPLAssets
+from impersonator_tpu.config import TestConfig
+from impersonator_tpu.ops import smpl as smpl_ops
+from impersonator_tpu.ops.projection import euler_to_matrix
+from impersonator_tpu.ops.sampler import grid_sample
+from impersonator_tpu.tasks import imitator as imitator_mod
+from impersonator_tpu.tasks.renderer import SMPLRenderer
+
+
+def view_core(nets, renderer: SMPLRenderer, src_state, rot_mats, trans,
+              bg_replace: bool = False, front_warp: bool = False):
+    """Batched novel-view step (Viewer.view, viewer.py:273-305).
+
+    rot_mats: (N, 3, 3); trans: (N, 3). Uses verts @ R + t — the
+    reference's bmm(X, R) convention (rotate_trans, :264-271).
+    """
+    n = rot_mats.shape[0]
+    verts = jnp.broadcast_to(
+        src_state["verts"], (n,) + src_state["verts"].shape[1:])
+    tsf_mesh = jnp.einsum("nvc,ncd->nvd", verts, rot_mats) + trans[:, None, :]
+
+    cam = jnp.broadcast_to(src_state["cam"], (n, 3))
+    _, fim, wim = renderer.render_fim_wim(cam, tsf_mesh)
+    cond = renderer.encode_fim(fim)
+
+    p2verts = jnp.broadcast_to(
+        src_state["p2verts"], (n,) + src_state["p2verts"].shape[1:])
+    t = renderer.cal_bc_transform(p2verts, fim, wim)
+
+    src_img = jnp.broadcast_to(src_state["img"], (n,) + src_state["img"].shape[1:])
+    tsf_img = grid_sample(src_img, t)
+    tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
+
+    enc, res = src_state["feats"]
+    enc = [jnp.broadcast_to(e, (n,) + e.shape[1:]) for e in enc]
+    res = [jnp.broadcast_to(r, (n,) + r.shape[1:]) for r in res]
+    tsf_color, tsf_mask = nets.generator.apply(
+        nets.gen_params, enc, res, tsf_inputs, t, method="inference")
+
+    bg = (jnp.broadcast_to(src_state["bg"], (n,) + src_state["bg"].shape[1:])
+          if bg_replace else jnp.zeros((n,) + src_state["bg"].shape[1:]))
+    preds = tsf_mask * bg + (1 - tsf_mask) * tsf_color
+
+    if front_warp:
+        front_mask = renderer.encode_front_fim(fim, front_fn=True)
+        preds = (1 - front_mask) * preds + tsf_img * front_mask * (1 - tsf_mask)
+    return preds
+
+
+class Viewer:
+    """Reference-parity driver (models/viewer.py). The verts needed for
+    rotation are recomputed at personalize time and cached."""
+
+    def __init__(self, cfg: TestConfig, assets: SMPLAssets | None = None,
+                 nets=None):
+        self.cfg = cfg
+        self.assets = assets if assets is not None else cfg.assets()
+        self.renderer = SMPLRenderer.create(
+            self.assets, image_size=cfg.image_size, map_name="uv_seg",
+            tex_size=cfg.tex_size, has_front=cfg.front_warp)
+        self.smpl_params = smpl_ops.SMPLParams.from_assets(self.assets)
+        self.parents = self.assets.parents
+        self.nets = (nets if nets is not None
+                     else imitator_mod.build_nets(cfg, self.assets))
+        self.src_info = None
+
+        self._personalize_jit = jax.jit(
+            partial(imitator_mod.personalize_core, self.nets, self.renderer,
+                    self.smpl_params, self.parents,
+                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis))
+        self._view_jit = jax.jit(
+            partial(view_core, self.nets, self.renderer,
+                    bg_replace=cfg.bg_replace, front_warp=cfg.front_warp))
+        self._hmr_jit = jax.jit(
+            lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
+
+    def personalize(self, img: np.ndarray, smpl=None):
+        arr = jnp.asarray(img, jnp.float32)[None]
+        if smpl is None:
+            from impersonator_tpu.utils.cv_utils import resize_img_hwc
+            theta = self._hmr_jit(jnp.asarray(
+                resize_img_hwc(np.asarray(img), 224))[None])
+        else:
+            theta = jnp.asarray(smpl, jnp.float32).reshape(1, 85)
+        state = self._personalize_jit(arr, theta)
+        det = smpl_ops.get_details(self.smpl_params, state["theta"], self.parents)
+        state["verts"] = det["verts"]
+        self.src_info = state
+        return state
+
+    def view(self, rt, t):
+        """Single view: rt/t like the reference's --view_params."""
+        r = euler_to_matrix(jnp.asarray(rt))[None]
+        tr = jnp.asarray(t, jnp.float32)[None]
+        return self._view_jit(self.src_info, r, tr)
+
+    def view_sweep(self, yaws, t=(0.0, 0.0, 0.0)):
+        """Batched yaw sweep (run_view.py:58-74): all angles in one call."""
+        rots = jnp.stack([euler_to_matrix(jnp.asarray([0.0, y, 0.0]))
+                          for y in yaws])
+        trans = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (len(yaws), 3))
+        return self._view_jit(self.src_info, rots, trans)

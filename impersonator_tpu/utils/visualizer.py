@@ -1,0 +1,77 @@
+"""Training observability.
+
+The reference logs via tensorboardX + an append-only text file + live
+visdom windows (utils/tb_visualizer.py:9-68, visdom_visualizer.py:23-163).
+Here: a dependency-free logger writing (a) ``loss_log.jsonl`` — one JSON
+record per log event (tooling-friendly superset of loss_log2.txt),
+(b) periodic image grids as PNGs under ``{expr_dir}/visuals/``, plus
+wall-clock phase timers (the reference only had ad-hoc time.time deltas,
+train.py:59-77; here timing is a first-class feature).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+import numpy as np
+
+
+class Visualizer:
+    def __init__(self, expr_dir: str):
+        self.expr_dir = expr_dir
+        os.makedirs(expr_dir, exist_ok=True)
+        self.log_path = os.path.join(expr_dir, "loss_log.jsonl")
+        self.visual_dir = os.path.join(expr_dir, "visuals")
+        os.makedirs(self.visual_dir, exist_ok=True)
+        self._timers = defaultdict(float)
+        self._counts = defaultdict(int)
+
+    # --- scalars ---------------------------------------------------------
+
+    def log_scalars(self, step: int, epoch: int, scalars: dict, phase="train"):
+        rec = {"t": time.time(), "step": int(step), "epoch": int(epoch),
+               "phase": phase}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def print_current_errors(self, epoch, step, errors, t_per_sample):
+        msg = f"(epoch {epoch}, step {step}, t/smpl {t_per_sample:.3f}s) " + \
+            " ".join(f"{k}:{float(v):.4f}" for k, v in errors.items())
+        print(msg, flush=True)
+
+    # --- images ----------------------------------------------------------
+
+    def save_images(self, step: int, visuals: dict):
+        """visuals: name -> (H,W,3) or (B,H,W,3) float [-1,1]."""
+        import cv2
+        for name, img in visuals.items():
+            arr = np.asarray(img)
+            if arr.ndim == 4:
+                arr = np.concatenate(list(arr), axis=1)  # horizontal strip
+            if arr.shape[-1] == 1:
+                arr = np.repeat(arr, 3, axis=-1)
+            out = ((arr + 1.0) / 2.0 * 255).clip(0, 255).astype(np.uint8)
+            path = os.path.join(self.visual_dir, f"{step:08d}_{name}.png")
+            cv2.imwrite(path, cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+
+    # --- timers ----------------------------------------------------------
+
+    @contextmanager
+    def timer(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._timers[name] += time.perf_counter() - t0
+            self._counts[name] += 1
+
+    def timer_summary(self) -> dict:
+        return {k: {"total_s": v, "count": self._counts[k],
+                    "mean_s": v / max(self._counts[k], 1)}
+                for k, v in self._timers.items()}

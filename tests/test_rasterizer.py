@@ -1,0 +1,137 @@
+"""Rasterizer tests: a slow numpy re-statement of the CUDA kernel's
+per-pixel loop (rasterize_cuda_kernel.cu:87-186) is the oracle; the XLA
+rasterizer must agree exactly on fim and to fp tolerance on wim."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from impersonator_tpu.ops import rasterizer as rast
+from impersonator_tpu.ops import smpl as smpl_ops
+
+
+def numpy_oracle(face_verts, image_size, near=0.1, far=25.0):
+    """Direct transliteration of the CUDA z-buffer loop semantics."""
+    b, nf = face_verts.shape[:2]
+    s = image_size
+    fim = np.full((b, s, s), -1, np.int32)
+    wim = np.zeros((b, s, s, 3), np.float32)
+    for bi in range(b):
+        for yi in range(s):
+            yp = (2.0 * yi + 1 - s) / s
+            for xi in range(s):
+                xp = (2.0 * xi + 1 - s) / s
+                zmin, imin, wmin = far, -1, None
+                for fn in range(nf):
+                    f = face_verts[bi, fn]  # (3, 3)
+                    (x0, y0, z0), (x1, y1, z1), (x2, y2, z2) = f
+                    if (y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0):
+                        continue
+                    if ((yp - y0) * (x1 - x0) < (xp - x0) * (y1 - y0)
+                            or (yp - y1) * (x2 - x1) < (xp - x1) * (y2 - y1)
+                            or (yp - y2) * (x0 - x2) < (xp - x2) * (y0 - y2)):
+                        continue
+                    p = 0.5 * (f[:, :2] * s + s - 1)
+                    inv = np.array([
+                        [p[1, 1] - p[2, 1], p[2, 0] - p[1, 0],
+                         p[1, 0] * p[2, 1] - p[2, 0] * p[1, 1]],
+                        [p[2, 1] - p[0, 1], p[0, 0] - p[2, 0],
+                         p[2, 0] * p[0, 1] - p[0, 0] * p[2, 1]],
+                        [p[0, 1] - p[1, 1], p[1, 0] - p[0, 0],
+                         p[0, 0] * p[1, 1] - p[1, 0] * p[0, 1]],
+                    ])
+                    denom = (p[2, 0] * (p[0, 1] - p[1, 1])
+                             + p[0, 0] * (p[1, 1] - p[2, 1])
+                             + p[1, 0] * (p[2, 1] - p[0, 1]))
+                    inv = inv / denom
+                    w = inv @ np.array([xi, yi, 1.0])
+                    w = np.clip(w, 0.0, 1.0)
+                    w = w / w.sum()
+                    zp = 1.0 / (w[0] / z0 + w[1] / z1 + w[2] / z2)
+                    if zp <= near or zp >= far:
+                        continue
+                    if zp < zmin:
+                        zmin, imin, wmin = zp, fn, w
+                if imin >= 0:
+                    fim[bi, yi, xi] = imin
+                    wim[bi, yi, xi] = wmin
+    # vertical flip like the torch wrapper (rasterize.py:319-338)
+    return fim[:, ::-1].copy(), wim[:, ::-1].copy()
+
+
+def _random_faces(rng, b, nf):
+    """Random triangles in [-0.9, 0.9]² with depth in [1.5, 3]."""
+    centers = rng.uniform(-0.8, 0.8, (b, nf, 1, 2))
+    offsets = rng.uniform(-0.35, 0.35, (b, nf, 3, 2))
+    xy = centers + offsets
+    z = rng.uniform(1.5, 3.0, (b, nf, 3, 1))
+    return np.concatenate([xy, z], axis=-1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_numpy_oracle(seed):
+    rng = np.random.default_rng(seed)
+    face_verts = _random_faces(rng, b=2, nf=13)
+    s = 32
+    fim_ref, wim_ref = numpy_oracle(face_verts, s)
+    fim, wim = rast.rasterize_fim_wim(jnp.asarray(face_verts), s, chunk=8)
+    fim, wim = np.asarray(fim), np.asarray(wim)
+    assert (fim == fim_ref).mean() > 0.999  # allow fp-boundary pixels
+    agree = fim == fim_ref
+    np.testing.assert_allclose(wim[agree], wim_ref[agree], atol=1e-4)
+
+
+def test_weights_sum_to_one_on_coverage():
+    rng = np.random.default_rng(3)
+    face_verts = _random_faces(rng, 1, 20)
+    fim, wim = rast.rasterize_fim_wim(jnp.asarray(face_verts), 48)
+    fim, wim = np.asarray(fim), np.asarray(wim)
+    covered = fim >= 0
+    assert covered.any()
+    np.testing.assert_allclose(wim[covered].sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(wim[~covered], 0.0)
+
+
+def test_backface_is_culled():
+    # A clockwise (back-facing) triangle covering the center
+    tri = np.array([[[[-0.5, -0.5, 2.0], [0.0, 0.5, 2.0], [0.5, -0.5, 2.0]]]],
+                   np.float32)
+    # winding: check the kernel's test directly; build both orientations
+    fim, _ = rast.rasterize_fim_wim(jnp.asarray(tri), 32)
+    fim_flipped, _ = rast.rasterize_fim_wim(jnp.asarray(tri[:, :, ::-1]), 32)
+    covered = (np.asarray(fim) >= 0).sum()
+    covered_flipped = (np.asarray(fim_flipped) >= 0).sum()
+    # exactly one orientation should render
+    assert (covered == 0) != (covered_flipped == 0)
+
+
+def test_zbuffer_prefers_near_face():
+    near_tri = [[-0.6, -0.6, 1.5], [0.0, 0.6, 1.5], [0.6, -0.6, 1.5]]
+    far_tri = [[-0.6, -0.6, 3.0], [0.0, 0.6, 3.0], [0.6, -0.6, 3.0]]
+    for order, want in [((near_tri, far_tri), 0), ((far_tri, near_tri), 1)]:
+        faces = np.asarray([order], np.float32)
+        # fix winding: make both front-facing under the kernel's test
+        fim, _ = rast.rasterize_fim_wim(jnp.asarray(faces), 32)
+        fim = np.asarray(fim)
+        if (fim >= 0).sum() == 0:  # wrong winding; flip vertex order
+            faces = faces[:, :, ::-1]
+            fim, _ = rast.rasterize_fim_wim(jnp.asarray(faces), 32)
+            fim = np.asarray(fim)
+        vals = fim[fim >= 0]
+        assert vals.size > 0
+        assert (vals == want).all()
+
+
+def test_full_smpl_pipeline_renders_body(assets):
+    params = smpl_ops.SMPLParams.from_assets(assets)
+    beta = jnp.zeros((1, 10))
+    theta = jnp.zeros((1, 72))
+    verts, _, _ = smpl_ops.smpl_forward(params, beta, theta, assets.parents)
+    cam = jnp.asarray([[0.9, 0.0, 0.0]])
+    fv = rast.project_to_raster_space(verts, cam, params.faces)
+    fim, wim = rast.rasterize_fim_wim(fv, 64)
+    sil = np.asarray(fim) >= 0
+    # the synthetic body should cover a plausible chunk of the frame
+    assert 0.02 < sil.mean() < 0.8
+    # fim indexes must be valid face ids
+    assert np.asarray(fim).max() < assets.nf

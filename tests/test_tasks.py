@@ -1,0 +1,135 @@
+"""End-to-end task tests: imitator pipeline, trainer step, mesh sharding.
+
+All run at tiny resolution on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from impersonator_tpu import assets as A
+from impersonator_tpu.config import TestConfig, TrainConfig
+from impersonator_tpu.parallel import make_mesh, shard_batch
+from impersonator_tpu.parallel.mesh import replicate_tree
+from impersonator_tpu.tasks import imitator as I
+from impersonator_tpu.tasks import trainer as T
+
+S = 32
+
+
+@pytest.fixture(scope="module")
+def tiny_imitator():
+    cfg = TestConfig(image_size=S, repeat_num=2)
+    return I.Imitator(cfg, assets=A.synthetic_assets())
+
+
+def _theta(pose_noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.zeros((85,), np.float32)
+    t[0] = 0.9
+    if pose_noise:
+        t[3:75] = rng.normal(0, pose_noise, 72)
+    return t
+
+
+def test_imitator_end_to_end(tiny_imitator):
+    rng = np.random.default_rng(0)
+    src_img = rng.uniform(-1, 1, (S, S, 3)).astype(np.float32)
+    info = tiny_imitator.personalize(src_img, src_smpl=_theta())
+    assert info["fim"].shape == (1, S, S)
+    assert (np.asarray(info["fim"]) >= 0).any(), "body must cover pixels"
+
+    smpls = np.stack([_theta(0.03, i) for i in range(5)])
+    preds = tiny_imitator.inference_by_smpls(smpls, batch=4)
+    assert preds.shape == (5, S, S, 3)
+    assert np.isfinite(np.asarray(preds)).all()
+    assert np.abs(np.asarray(preds)).max() <= 1.0 + 1e-5
+
+
+def test_imitator_cam_strategies(tiny_imitator):
+    smpls = np.stack([_theta(0.02, i) for i in range(2)])
+    smpls[:, 1] += 0.3  # cam tx offset
+    for strategy in ("smooth", "source", "copy"):
+        preds = tiny_imitator.inference_by_smpls(smpls, cam_strategy=strategy,
+                                                 batch=2)
+        assert preds.shape == (2, S, S, 3)
+
+
+def _tiny_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    thetas = np.zeros((cfg.batch_size, 2, 85), np.float32)
+    thetas[..., 0] = 0.9
+    thetas[..., 3:75] = rng.normal(0, 0.03, (cfg.batch_size, 2, 72))
+    return {
+        "images": jnp.asarray(
+            rng.uniform(-1, 1, (cfg.batch_size, 2, S, S, 3)), jnp.float32),
+        "smpls": jnp.asarray(thetas),
+    }
+
+
+def test_trainer_single_step():
+    cfg = TrainConfig(image_size=S, repeat_num=2, batch_size=2,
+                      use_vgg=False, use_style=False, use_face=False,
+                      d_layers=2)
+    trainer = T.build_trainer(cfg, A.synthetic_assets())
+    state = trainer.init_state()
+    step = jax.jit(T.make_train_step(trainer, train_d=True))
+    state, metrics = step(state, _tiny_batch(cfg))
+    for key in ("g_total", "g_rec", "g_adv", "g_mask", "d_loss"):
+        assert np.isfinite(float(metrics[key])), key
+    assert int(state.step) == 1
+    # params actually moved
+    leaf0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert np.isfinite(np.asarray(leaf0)).all()
+
+
+def test_trainer_loss_decreases_on_repeated_batch():
+    cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=2,
+                      use_vgg=False, use_style=False, use_face=False,
+                      d_layers=2, lambda_D_prob=0.0)  # pure reconstruction objective
+    trainer = T.build_trainer(cfg, A.synthetic_assets())
+    state = trainer.init_state()
+    step = jax.jit(T.make_train_step(trainer, train_d=False))
+    batch = _tiny_batch(cfg)
+    _, m0 = step(state, batch)
+    for _ in range(8):
+        state, m = step(state, batch)
+    assert float(m["g_rec"]) < float(m0["g_rec"])
+
+
+def test_train_step_on_8_device_mesh():
+    """Full training step sharded over the virtual 8-CPU mesh: batch on
+    the data axis, params replicated, grads all-reduced by XLA."""
+    n = jax.device_count()
+    assert n == 8, f"conftest must provide 8 virtual devices, got {n}"
+    cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=n,
+                      use_vgg=False, use_style=False, use_face=False,
+                      d_layers=2)
+    trainer = T.build_trainer(cfg, A.synthetic_assets())
+    mesh = make_mesh((n,), ("data",))
+    state = replicate_tree(trainer.init_state(), mesh)
+    batch = shard_batch(_tiny_batch(cfg), mesh)
+    step = jax.jit(T.make_train_step(trainer, train_d=True))
+    with mesh:
+        state, metrics = step(state, batch)
+    vals = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(vals["g_total"]), vals
+
+    # the sharded result must match the single-device result up to
+    # cross-device reduction-order noise
+    trainer2 = T.build_trainer(cfg, A.synthetic_assets())
+    state2 = trainer2.init_state()
+    step2 = jax.jit(T.make_train_step(trainer2, train_d=True))
+    _, metrics2 = step2(state2, _tiny_batch(cfg))
+    np.testing.assert_allclose(vals["g_total"],
+                               float(metrics2["g_total"]), rtol=5e-2)
+
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[2].shape[0]
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,318 @@
+"""Convert reference PyTorch checkpoints into impersonator_tpu pytrees.
+
+One-time converters for the six pretrained networks the reference ships
+(SURVEY §2.5): HMR (hmr_tf2pt.pth), the LWB generator
+(net_epoch_30_id_G.pth), deepfillv2 (net_epoch_50_id_G.pth), torchvision
+VGG19, SphereFace-20a, and (via assets.load_smpl_assets) the SMPL pickle.
+
+Usage:
+    python tools/convert_weights.py hmr     hmr_tf2pt.pth      out.msgpack
+    python tools/convert_weights.py gen     net_epoch_30_id_G.pth out.msgpack
+    python tools/convert_weights.py bgnet   deepfillv2.pth     out.msgpack
+    python tools/convert_weights.py vgg19   vgg19.pth          out.msgpack
+    python tools/convert_weights.py sphere  sphere20a.pth      out.msgpack
+
+Conventions:
+    torch Conv2d weight  (O, I, kH, kW) -> flax HWIO  (kH, kW, I, O)
+    torch ConvT2d weight (I, O, kH, kW) -> ConvTransposeTorch kernel
+                                           (kH, kW, I, O) [flip applied at
+                                           run time, not here]
+    torch Linear weight  (O, I)         -> Dense kernel (I, O)
+    BatchNorm weight/bias/running_*     -> scale/bias + batch_stats
+    InstanceNorm weight/bias            -> scale/bias
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      np.float32)
+
+
+def conv_w(t):
+    return _np(t).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def convt_w(t):
+    return _np(t).transpose(2, 3, 0, 1)  # IOHW -> HWIO (I on axis 2)
+
+
+def dense_w(t):
+    return _np(t).T
+
+
+def _set(tree: Dict, path: str, value):
+    node = tree
+    parts = path.split("/")
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _strip_module(sd):
+    return { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+
+
+# --------------------------------------------------------------------------
+# HMR
+# --------------------------------------------------------------------------
+
+def convert_hmr(sd) -> dict:
+    """hmr_tf2pt.pth -> {'params': ..., 'batch_stats': ...} for
+    models.hmr.HumanModelRecovery."""
+    sd = _strip_module(sd)
+    params, stats = {}, {}
+
+    def bn(src, dst):
+        _set(params, dst + "/scale", _np(sd[src + ".weight"]))
+        _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+        _set(stats, dst + "/mean", _np(sd[src + ".running_mean"]))
+        _set(stats, dst + "/var", _np(sd[src + ".running_var"]))
+
+    def conv(src, dst, bias=False):
+        _set(params, dst + "/kernel", conv_w(sd[src + ".weight"]))
+        if bias:
+            _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+
+    conv("resnet.conv1", "resnet/conv1/conv", bias=True)
+    num_blocks = (3, 4, 6, 3)
+    in_planes = 64
+    for li, nb in enumerate(num_blocks, start=1):
+        planes = (64, 128, 256, 512)[li - 1]
+        for bi in range(nb):
+            src = f"resnet.layer{li}.{bi}"
+            dst = f"resnet/layer{li}_{bi}"
+            for k in (1, 2, 3):
+                bn(f"{src}.bn{k}", f"{dst}/bn{k}")
+            conv(f"{src}.conv1", f"{dst}/conv1/conv")
+            conv(f"{src}.conv2", f"{dst}/conv2/conv")
+            conv(f"{src}.conv3", f"{dst}/conv3/conv", bias=True)
+            if in_planes != planes * 4:
+                conv(f"{src}.shortcut.0", f"{dst}/shortcut/conv", bias=True)
+            in_planes = planes * 4
+    bn("resnet.post_bn", "resnet/post_bn")
+
+    _set(params, "regressor/mean_theta", _np(sd["regressor.mean_theta"]))
+    for k in (1, 2, 3):
+        _set(params, f"regressor/fc{k}/kernel",
+             dense_w(sd[f"regressor.fc_blocks.fc{k}.weight"]))
+        _set(params, f"regressor/fc{k}/bias",
+             _np(sd[f"regressor.fc_blocks.fc{k}.bias"]))
+    return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# Generator
+# --------------------------------------------------------------------------
+
+def _convert_resunet(sd, prefix: str, params: dict, out_prefix: str,
+                     n_down: int = 3, repeat: int = 6):
+    """ResUnetGenerator state_dict section -> our ResUnetGenerator names."""
+    def conv(src, dst):
+        _set(params, dst + "/kernel", conv_w(sd[src + ".weight"]))
+
+    def convt(src, dst):
+        _set(params, dst, convt_w(sd[src + ".weight"]))
+
+    def inorm(src, dst):
+        _set(params, dst + "/scale", _np(sd[src + ".weight"]))
+        _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+
+    for i in range(n_down + 1):
+        conv(f"{prefix}.encoders.{i}.0", f"{out_prefix}/enc_{i}/conv/conv")
+        inorm(f"{prefix}.encoders.{i}.1", f"{out_prefix}/enc_{i}/norm")
+    for i in range(repeat):
+        conv(f"{prefix}.resnets.{i}.main.0", f"{out_prefix}/res_{i}/conv1/conv")
+        inorm(f"{prefix}.resnets.{i}.main.1", f"{out_prefix}/res_{i}/norm1")
+        conv(f"{prefix}.resnets.{i}.main.3", f"{out_prefix}/res_{i}/conv2/conv")
+        inorm(f"{prefix}.resnets.{i}.main.4", f"{out_prefix}/res_{i}/norm2")
+    for i in range(n_down):
+        convt(f"{prefix}.decoders.{i}.0", f"{out_prefix}/dec_{i}/deconv/kernel")
+        inorm(f"{prefix}.decoders.{i}.1", f"{out_prefix}/dec_{i}/norm")
+        conv(f"{prefix}.skippers.{i}.0", f"{out_prefix}/skip_{i}/conv/conv")
+        inorm(f"{prefix}.skippers.{i}.1", f"{out_prefix}/skip_{i}/norm")
+    conv(f"{prefix}.img_reg.0", f"{out_prefix}/img_reg/conv")
+    conv(f"{prefix}.attetion_reg.0", f"{out_prefix}/att_reg/conv")
+
+
+def convert_generator(sd, n_down: int = 3, repeat: int = 6) -> dict:
+    """net_epoch_*_id_G.pth (ImpersonatorGenerator) -> {'params': ...}."""
+    sd = _strip_module(sd)
+    params = {}
+
+    # bg_model: flat Sequential index layout (generator.py:29-57)
+    def conv(src, dst):
+        _set(params, dst + "/kernel", conv_w(sd[src + ".weight"]))
+
+    def convt(src, dst):
+        _set(params, dst, convt_w(sd[src + ".weight"]))
+
+    def inorm(src, dst):
+        _set(params, dst + "/scale", _np(sd[src + ".weight"]))
+        _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+
+    idx = 0
+    conv(f"bg_model.model.{idx}", "bg_model/stem/conv/conv")
+    inorm(f"bg_model.model.{idx + 1}", "bg_model/stem/norm")
+    idx += 3
+    for i in range(n_down):
+        conv(f"bg_model.model.{idx}", f"bg_model/down_{i}/conv/conv")
+        inorm(f"bg_model.model.{idx + 1}", f"bg_model/down_{i}/norm")
+        idx += 3
+    for i in range(repeat):
+        conv(f"bg_model.model.{idx}.main.0", f"bg_model/res_{i}/conv1/conv")
+        inorm(f"bg_model.model.{idx}.main.1", f"bg_model/res_{i}/norm1")
+        conv(f"bg_model.model.{idx}.main.3", f"bg_model/res_{i}/conv2/conv")
+        inorm(f"bg_model.model.{idx}.main.4", f"bg_model/res_{i}/norm2")
+        idx += 1
+    for i in range(n_down):
+        convt(f"bg_model.model.{idx}", f"bg_model/up_{i}/deconv/kernel")
+        inorm(f"bg_model.model.{idx + 1}", f"bg_model/up_{i}/norm")
+        idx += 3
+    conv(f"bg_model.model.{idx}", "bg_model/rgb/conv")
+
+    _convert_resunet(sd, "src_model", params, "src_model", n_down, repeat)
+    _convert_resunet(sd, "tsf_model", params, "tsf_model", n_down, repeat)
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# deepfillv2
+# --------------------------------------------------------------------------
+
+_COARSE = [f"c{i}" for i in range(17)]
+_REFINE = [f"r{i}" for i in range(11)]
+_UP = [f"u{i}" for i in range(7)]
+_DECONV_NAMES = {"c12", "c14", "u2", "u4"}
+
+
+def convert_bgnet(sd) -> dict:
+    """deepfillv2 net_epoch_50_id_G.pth -> {'params','batch_stats'} for
+    models.inpaintor.InpaintSANet."""
+    sd = _strip_module(sd)
+    params, stats = {}, {}
+
+    def gated(src, dst, has_bn=True):
+        nested = ".conv2d" if dst.split("/")[-1] in _DECONV_NAMES else ""
+        # GatedDeConv wraps a GatedConv named conv2d (inpaintor.py:60-69);
+        # our GatedDeConv names its inner GatedConv "conv"
+        if nested:
+            dst = dst + "/conv"
+        _set(params, dst + "/conv/kernel", conv_w(sd[f"{src}{nested}.conv2d.weight"]))
+        _set(params, dst + "/conv/bias", _np(sd[f"{src}{nested}.conv2d.bias"]))
+        _set(params, dst + "/mask_conv/kernel",
+             conv_w(sd[f"{src}{nested}.mask_conv2d.weight"]))
+        _set(params, dst + "/mask_conv/bias",
+             _np(sd[f"{src}{nested}.mask_conv2d.bias"]))
+        if has_bn:
+            _set(params, dst + "/bn/scale",
+                 _np(sd[f"{src}{nested}.batch_norm2d.weight"]))
+            _set(params, dst + "/bn/bias",
+                 _np(sd[f"{src}{nested}.batch_norm2d.bias"]))
+            _set(stats, dst + "/bn/mean",
+                 _np(sd[f"{src}{nested}.batch_norm2d.running_mean"]))
+            _set(stats, dst + "/bn/var",
+                 _np(sd[f"{src}{nested}.batch_norm2d.running_var"]))
+
+    for i, name in enumerate(_COARSE):
+        gated(f"coarse_net.{i}", name)
+    for i, name in enumerate(_REFINE):
+        gated(f"refine_conv_net.{i}", name)
+    for i, name in enumerate(_UP):
+        gated(f"refine_upsample_net.{i}", name)
+
+    _set(params, "attn/query/kernel", conv_w(sd["refine_attn.query_conv.weight"]))
+    _set(params, "attn/query/bias", _np(sd["refine_attn.query_conv.bias"]))
+    _set(params, "attn/key/kernel", conv_w(sd["refine_attn.key_conv.weight"]))
+    _set(params, "attn/key/bias", _np(sd["refine_attn.key_conv.bias"]))
+    _set(params, "attn/value/kernel", conv_w(sd["refine_attn.value_conv.weight"]))
+    _set(params, "attn/value/bias", _np(sd["refine_attn.value_conv.bias"]))
+    _set(params, "attn/gamma", _np(sd["refine_attn.gamma"]))
+    return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# VGG19 / Sphere20a
+# --------------------------------------------------------------------------
+
+_VGG_FEATURE_IDS = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28]
+
+
+def convert_vgg19(sd) -> dict:
+    """torchvision vgg19 state_dict -> models.losses.Vgg19 params
+    (only the first 14 convs used by the 5 slices)."""
+    params = {}
+    for our_i, torch_i in enumerate(_VGG_FEATURE_IDS):
+        _set(params, f"conv_{our_i}/kernel",
+             conv_w(sd[f"features.{torch_i}.weight"]))
+        _set(params, f"conv_{our_i}/bias", _np(sd[f"features.{torch_i}.bias"]))
+    return {"params": params}
+
+
+_SPHERE_PAIRS = {
+    "conv1_2": ("conv1_2", "conv1_3"), "conv2_2": ("conv2_2", "conv2_3"),
+    "conv2_4": ("conv2_4", "conv2_5"), "conv3_2": ("conv3_2", "conv3_3"),
+    "conv3_4": ("conv3_4", "conv3_5"), "conv3_6": ("conv3_6", "conv3_7"),
+    "conv3_8": ("conv3_8", "conv3_9"), "conv4_2": ("conv4_2", "conv4_3"),
+}
+
+
+def convert_sphere(sd) -> dict:
+    """sphere20a_20171020.pth (fc6 dropped) -> models.facenet.Sphere20a."""
+    sd = {k: v for k, v in _strip_module(sd).items()
+          if not k.startswith("fc6")}
+    params = {}
+
+    def unit(src_conv, dst):
+        _set(params, dst + "/conv/kernel", conv_w(sd[src_conv + ".weight"]))
+        _set(params, dst + "/conv/bias", _np(sd[src_conv + ".bias"]))
+        relu = src_conv.replace("conv", "relu")
+        _set(params, dst + "/prelu/alpha", _np(sd[relu + ".weight"]))
+
+    for stage in ("conv1_1", "conv2_1", "conv3_1", "conv4_1"):
+        unit(stage, stage)
+    for our, (a, b) in _SPHERE_PAIRS.items():
+        unit(a, our + "a")
+        unit(b, our + "b")
+    _set(params, "fc5/kernel", dense_w(sd["fc5.weight"]))
+    _set(params, "fc5/bias", _np(sd["fc5.bias"]))
+    return {"params": params}
+
+
+CONVERTERS = {
+    "hmr": convert_hmr,
+    "gen": convert_generator,
+    "bgnet": convert_bgnet,
+    "vgg19": convert_vgg19,
+    "sphere": convert_sphere,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("kind", choices=sorted(CONVERTERS))
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    args = ap.parse_args()
+
+    import torch
+    from flax import serialization
+
+    sd = torch.load(args.src, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    tree = CONVERTERS[args.kind](sd)
+    with open(args.dst, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+    print(f"converted {args.kind}: {args.src} -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
