@@ -220,3 +220,185 @@ def rasterize_fim_wim(
 def render_silhouette(fim: jax.Array) -> jax.Array:
     """Binary silhouette from a face-index map, (B, S, S) float32."""
     return (fim >= 0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Production path: tiled rasterizer with per-tile face culling
+# ---------------------------------------------------------------------------
+#
+# The brute scan above touches every (pixel, face) pair — ~25 GFLOP/frame at
+# 256² with the full SMPL mesh. Faces are tiny (a few pixels), so almost all
+# pairs are dead work. Here the image splits into TILE×TILE pixel tiles; for
+# each tile the (at most ``cap``) lowest-indexed faces whose screen bbox
+# touches the tile are gathered with lax.top_k, and the z-buffer runs only
+# against those candidates. Candidate order is ascending face id, preserving
+# the CUDA kernel's lowest-index tie-break. Work drops ~16×; memory stays
+# bounded by scanning over the batch.
+
+@partial(jax.jit, static_argnames=("image_size", "tile", "cap", "chunk"))
+def rasterize_fim_wim_tiled(
+    face_verts: jax.Array,
+    image_size: int = 256,
+    near: float = DEFAULT_NEAR,
+    far: float = DEFAULT_FAR,
+    tile: int = 16,
+    cap: int = 512,
+    chunk: int = 128,
+):
+    """Tiled/culled rasterizer. Same contract as :func:`rasterize_fim_wim`.
+
+    tile: pixel tile side; cap: max candidate faces per tile (overflowing
+    faces — beyond ``cap`` bbox hits in one tile — are dropped; at SMPL
+    densities p99 tile occupancy is well under the default cap).
+    """
+    face_verts = jax.lax.stop_gradient(face_verts.astype(jnp.float32))
+    b, nf = face_verts.shape[0], face_verts.shape[1]
+    s = image_size
+    assert s % tile == 0
+    g = s // tile          # tiles per side
+    n_tiles = g * g
+    tpx = tile * tile      # pixels per tile
+    cap = min(cap, nf)
+    pad = (-cap) % chunk
+    cap_pad = cap + pad
+    n_chunks = cap_pad // chunk
+
+    front_all, inv_all = _face_geometry(face_verts, s)
+
+    xv_all = face_verts[..., 0]
+    yv_all = face_verts[..., 1]
+    zv_all = face_verts[..., 2]
+
+    # pixel-center coordinates of each tile, (n_tiles, tpx)
+    xi = jnp.arange(s, dtype=jnp.float32)
+    xig, yig = jnp.meshgrid(xi, xi)  # (S, S): row-major (y, x)
+    def tile_view(a):
+        return (a.reshape(g, tile, g, tile)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(n_tiles, tpx))
+    xif_t = tile_view(xig)
+    yif_t = tile_view(yig)
+    xp_t = (2.0 * xif_t + 1.0 - s) / s
+    yp_t = (2.0 * yif_t + 1.0 - s) / s
+
+    # tile bounds in normalized pixel-center space, (n_tiles, 1)
+    tx_min = jnp.min(xp_t, axis=1)
+    tx_max = jnp.max(xp_t, axis=1)
+    ty_min = jnp.min(yp_t, axis=1)
+    ty_max = jnp.max(yp_t, axis=1)
+
+    big = jnp.int32(nf)
+
+    def per_sample(args):
+        xv, yv, zv, inv, front = args  # (nf, 3), (nf, 3, 3), (nf,)
+
+        fx_min = jnp.min(xv, axis=1)
+        fx_max = jnp.max(xv, axis=1)
+        fy_min = jnp.min(yv, axis=1)
+        fy_max = jnp.max(yv, axis=1)
+        zvalid = jnp.min(zv, axis=1) < far
+
+        # (n_tiles, nf) bbox overlap
+        overlap = ((fx_min[None, :] <= tx_max[:, None])
+                   & (fx_max[None, :] >= tx_min[:, None])
+                   & (fy_min[None, :] <= ty_max[:, None])
+                   & (fy_max[None, :] >= ty_min[:, None])
+                   & front[None, :] & zvalid[None, :])
+
+        # smallest face ids first: top_k on (nf - fid) over overlapping faces
+        fid = jnp.arange(nf, dtype=jnp.int32)
+        score = jnp.where(overlap, big - fid, jnp.int32(-1))
+        top_vals, _ = jax.lax.top_k(score, cap)          # (n_tiles, cap)
+        cand_valid = top_vals > 0
+        cand = jnp.where(cand_valid, big - top_vals, 0)  # (n_tiles, cap)
+
+        if pad:
+            cand = jnp.pad(cand, ((0, 0), (0, pad)))
+            cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
+
+        # gather candidate face data per tile
+        cxv = xv[cand]            # (n_tiles, cap_pad, 3)
+        cyv = yv[cand]
+        czv = zv[cand]
+        cinv = inv[cand]          # (n_tiles, cap_pad, 3, 3)
+
+        init = (
+            jnp.full((n_tiles, tpx), far, jnp.float32),
+            jnp.full((n_tiles, tpx), -1, jnp.int32),
+            jnp.zeros((n_tiles, tpx, 3), jnp.float32),
+        )
+
+        def reshape_chunks(a):
+            return (a.reshape((n_tiles, n_chunks, chunk) + a.shape[2:])
+                     .swapaxes(0, 1))
+
+        scan_in = (reshape_chunks(cxv), reshape_chunks(cyv),
+                   reshape_chunks(czv), reshape_chunks(cinv),
+                   reshape_chunks(cand), reshape_chunks(cand_valid))
+
+        def body(state, inputs):
+            hxv, hyv, hzv, hinv, hids, hvalid = inputs
+            best_z, best_i, best_w = state
+            fx0, fx1, fx2 = (hxv[..., k][:, None, :] for k in range(3))
+            fy0, fy1, fy2 = (hyv[..., k][:, None, :] for k in range(3))
+            pxp = xp_t[:, :, None]
+            pyp = yp_t[:, :, None]
+
+            t0 = (pyp - fy0) * (fx1 - fx0) - (pxp - fx0) * (fy1 - fy0)
+            t1 = (pyp - fy1) * (fx2 - fx1) - (pxp - fx1) * (fy2 - fy1)
+            t2 = (pyp - fy2) * (fx0 - fx2) - (pxp - fx2) * (fy0 - fy2)
+            inside = (t0 >= 0) & (t1 >= 0) & (t2 >= 0)
+
+            pxi = xif_t[:, :, None]
+            pyi = yif_t[:, :, None]
+            w0 = (hinv[..., 0, 0][:, None, :] * pxi
+                  + hinv[..., 0, 1][:, None, :] * pyi
+                  + hinv[..., 0, 2][:, None, :])
+            w1 = (hinv[..., 1, 0][:, None, :] * pxi
+                  + hinv[..., 1, 1][:, None, :] * pyi
+                  + hinv[..., 1, 2][:, None, :])
+            w2 = (hinv[..., 2, 0][:, None, :] * pxi
+                  + hinv[..., 2, 1][:, None, :] * pyi
+                  + hinv[..., 2, 2][:, None, :])
+            w0 = jnp.clip(w0, 0.0, 1.0)
+            w1 = jnp.clip(w1, 0.0, 1.0)
+            w2 = jnp.clip(w2, 0.0, 1.0)
+            wsum = w0 + w1 + w2
+            wsum = jnp.where(wsum == 0.0, 1.0, wsum)
+            w0, w1, w2 = w0 / wsum, w1 / wsum, w2 / wsum
+
+            inv_z = (w0 / hzv[..., 0][:, None, :]
+                     + w1 / hzv[..., 1][:, None, :]
+                     + w2 / hzv[..., 2][:, None, :])
+            zp = 1.0 / inv_z
+            valid = (inside & hvalid[:, None, :]
+                     & (zp > near) & (zp < far))
+            zp = jnp.where(valid, zp, far)
+
+            li = jnp.argmin(zp, axis=-1)                       # (T, tpx)
+            lz = jnp.take_along_axis(zp, li[..., None], -1)[..., 0]
+            lw = jnp.stack([w0, w1, w2], axis=-1)
+            lwm = jnp.take_along_axis(
+                lw, li[..., None, None], axis=-2)[..., 0, :]
+            lid = jnp.take_along_axis(hids, li, axis=-1).astype(jnp.int32)
+
+            better = lz < best_z
+            best_w = jnp.where(better[..., None], lwm, best_w)
+            best_i = jnp.where(better, lid, best_i)
+            best_z = jnp.where(better, lz, best_z)
+            return (best_z, best_i, best_w), None
+
+        (_, best_i, best_w), _ = jax.lax.scan(body, init, scan_in)
+
+        # un-tile: (n_tiles, tpx) -> (S, S)
+        def untile(a):
+            extra = a.shape[2:]
+            return (a.reshape((g, g, tile, tile) + extra)
+                     .transpose((0, 2, 1, 3) + tuple(4 + i for i in range(len(extra))))
+                     .reshape((s, s) + extra))
+
+        return untile(best_i), untile(best_w)
+
+    fim, wim = jax.lax.map(per_sample,
+                           (xv_all, yv_all, zv_all, inv_all, front_all))
+    return fim[:, ::-1, :], wim[:, ::-1, :, :]

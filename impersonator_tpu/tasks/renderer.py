@@ -61,11 +61,23 @@ class SMPLRenderer:
     def render_fim_wim(self, cam, verts):
         """(cam (B,3), verts (B,nv,3)) -> (f2verts, fim, wim)
         (nmr.py:263-278). f2verts is in raster space; use
-        :meth:`f2pts_from_f2verts` for source-image coordinates."""
+        :meth:`f2pts_from_f2verts` for source-image coordinates.
+
+        Uses the tiled/culled rasterizer when the image tiles evenly;
+        falls back to the brute reference path otherwise (tiny test
+        sizes)."""
         f2verts = rast.project_to_raster_space(
             verts, cam, self.faces, self.eye_z_value)
-        fim, wim = rast.rasterize_fim_wim(
-            f2verts, self.image_size, self.near, self.far)
+        s = self.image_size
+        nf = self.faces.shape[0]
+        tile = 16 if s % 16 == 0 else (8 if s % 8 == 0 else None)
+        if tile is not None and nf > 256:
+            fim, wim = rast.rasterize_fim_wim_tiled(
+                f2verts, s, self.near, self.far, tile=tile,
+                cap=min(512, nf))
+        else:
+            fim, wim = rast.rasterize_fim_wim(
+                f2verts, s, self.near, self.far)
         return f2verts, fim, wim
 
     @staticmethod

@@ -4,7 +4,11 @@ ours must not — SURVEY §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the host environment preselects an accelerator
+# platform (the driver exports JAX_PLATFORMS=axon). jax may already be
+# imported by a pytest plugin, but backends initialize lazily, so the
+# config route still wins as long as no devices were touched yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: CPU compiles of the big generator graphs
 # dominate test wall-clock; cache them across runs.

@@ -135,3 +135,46 @@ def test_full_smpl_pipeline_renders_body(assets):
     assert 0.02 < sil.mean() < 0.8
     # fim indexes must be valid face ids
     assert np.asarray(fim).max() < assets.nf
+
+
+def test_tiled_matches_brute_random():
+    rng = np.random.default_rng(7)
+    face_verts = _random_faces(rng, b=2, nf=40)
+    s = 32
+    fim_a, wim_a = rast.rasterize_fim_wim(jnp.asarray(face_verts), s)
+    fim_b, wim_b = rast.rasterize_fim_wim_tiled(
+        jnp.asarray(face_verts), s, tile=8, cap=40, chunk=8)
+    fim_a, fim_b = np.asarray(fim_a), np.asarray(fim_b)
+    assert (fim_a == fim_b).mean() > 0.999
+    agree = fim_a == fim_b
+    np.testing.assert_allclose(np.asarray(wim_a)[agree],
+                               np.asarray(wim_b)[agree], atol=1e-5)
+
+
+def test_tiled_matches_brute_smpl_body(assets):
+    params = smpl_ops.SMPLParams.from_assets(assets)
+    verts, _, _ = smpl_ops.smpl_forward(
+        params, jnp.zeros((1, 10)), jnp.zeros((1, 72)), assets.parents)
+    cam = jnp.asarray([[0.9, 0.0, 0.0]])
+    fv = rast.project_to_raster_space(verts, cam, params.faces)
+    s = 64
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s)
+    fim_b, wim_b = rast.rasterize_fim_wim_tiled(fv, s, tile=16,
+                                                cap=assets.nf, chunk=64)
+    fim_a, fim_b = np.asarray(fim_a), np.asarray(fim_b)
+    assert (fim_a == fim_b).all()
+    np.testing.assert_allclose(np.asarray(wim_a), np.asarray(wim_b),
+                               atol=1e-6)
+
+
+def test_tiled_cap_overflow_degrades_gracefully():
+    """With a tiny cap the map stays valid (subset of faces, no garbage)."""
+    rng = np.random.default_rng(9)
+    face_verts = _random_faces(rng, b=1, nf=30)
+    fim, wim = rast.rasterize_fim_wim_tiled(
+        jnp.asarray(face_verts), 32, tile=8, cap=4, chunk=4)
+    fim = np.asarray(fim)
+    assert fim.max() < 30
+    covered = fim >= 0
+    np.testing.assert_allclose(np.asarray(wim)[covered].sum(-1), 1.0,
+                               atol=1e-5)
