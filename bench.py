@@ -13,6 +13,9 @@ vs_baseline is against the BASELINE.md north-star target of 30 f/s/chip
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import json
 import time
 

@@ -30,10 +30,22 @@ from impersonator_tpu.utils.visualizer import Visualizer
 def main(argv=None):
     cfg = from_args(TrainConfig, argv)
     cfg.save("train")
-    dataset_name = "synthetic" if not cfg.smpl_model else "iPER"
 
-    trainer = trainer_mod.build_trainer(cfg)
-    state = trainer.init_state()
+    aug = cfg.model == "impersonator_trainer_aug"
+    if not cfg.smpl_model:
+        dataset_name = "synthetic_bg" if aug else "synthetic"
+    else:
+        dataset_name = "iPER_place" if aug else "iPER"
+
+    if aug:
+        from impersonator_tpu.tasks import trainer_aug as aug_mod
+        trainer = aug_mod.build_aug_trainer(cfg)
+        state = aug_mod.init_aug_state(trainer)
+        make_step = aug_mod.make_aug_train_step
+    else:
+        trainer = trainer_mod.build_trainer(cfg)
+        state = trainer.init_state()
+        make_step = trainer_mod.make_train_step
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     state = replicate_tree(state, mesh)
@@ -43,8 +55,8 @@ def main(argv=None):
                         mesh=mesh)
 
     vis = Visualizer(cfg.expr_dir())
-    step_fn = jax.jit(trainer_mod.make_train_step(trainer, train_d=True))
-    step_g_only = jax.jit(trainer_mod.make_train_step(trainer, train_d=False))
+    step_fn = jax.jit(make_step(trainer, train_d=True))
+    step_g_only = jax.jit(make_step(trainer, train_d=False))
 
     start_epoch = cfg.resolve_load_epoch()
     if start_epoch > 0:

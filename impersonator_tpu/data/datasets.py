@@ -229,4 +229,6 @@ def dataset_by_name(name: str, cfg):
         return PlaceDataset(cfg.place_dir, cfg.image_size)
     if name == "synthetic":
         return SyntheticPairDataset(cfg.image_size)
+    if name == "synthetic_bg":
+        return SyntheticPairDataset(cfg.image_size, with_bg=True)
     raise ValueError(f"unknown dataset: {name}")

@@ -7,3 +7,9 @@ from impersonator_tpu.metrics.metrics import (  # noqa: F401
     TYPES_QUALITIES,
     PairedMetricRunner,
 )
+from impersonator_tpu.metrics.unpaired import (  # noqa: F401
+    UnpairedMetricRunner,
+    frechet_distance,
+    inception_score,
+    gaussian_stats,
+)

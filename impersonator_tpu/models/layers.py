@@ -95,7 +95,11 @@ class ConvTransposeTorch(nn.Module):
 
 
 class InstanceNorm(nn.Module):
-    """nn.InstanceNorm2d(affine=True), eps=1e-5, per (sample, channel)."""
+    """nn.InstanceNorm2d(affine=True), eps=1e-5, per (sample, channel).
+
+    Statistics always accumulate in fp32 so the module is safe under a
+    bf16 compute policy (65k-element spatial reductions lose precision in
+    bf16); the output returns in the input dtype."""
 
     eps: float = 1e-5
 
@@ -104,10 +108,12 @@ class InstanceNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 class BatchNorm(nn.Module):

@@ -215,3 +215,11 @@ def bce(pred, target, eps: float = 1e-7):
 
 def mse(a, b):
     return jnp.mean((a - b) ** 2)
+
+
+def hmr_loss(hmr, hmr_params, x, y):
+    """L1 distance between HMR theta regressions of two image batches
+    (HMRLoss, networks.py:189-208) — a body-structure perceptual loss."""
+    tx = hmr.apply(hmr_params, x)
+    ty = hmr.apply(hmr_params, y)
+    return jnp.mean(jnp.abs(tx - jax.lax.stop_gradient(ty)))

@@ -259,8 +259,9 @@ def rasterize_fim_wim_tiled(
     n_tiles = g * g
     tpx = tile * tile      # pixels per tile
     cap = min(cap, nf)
-    pad = (-cap) % chunk
-    cap_pad = cap + pad
+    EX = 16   # oversized-face slots prepended to every tile
+    pad = (-(cap + EX)) % chunk
+    cap_pad = cap + EX + pad
     n_chunks = cap_pad // chunk
 
     front_all, inv_all = _face_geometry(face_verts, s)
@@ -289,6 +290,11 @@ def rasterize_fim_wim_tiled(
 
     big = jnp.int32(nf)
 
+    # span of the per-face tile-enumeration window; faces wider than
+    # SPAN×SPAN tiles (rare: >SPAN·tile px bboxes) go through the
+    # "extras" path and are prepended to EVERY tile's candidates.
+    SPAN = 4
+
     def per_sample(args):
         xv, yv, zv, inv, front = args  # (nf, 3), (nf, 3, 3), (nf,)
 
@@ -297,20 +303,63 @@ def rasterize_fim_wim_tiled(
         fy_min = jnp.min(yv, axis=1)
         fy_max = jnp.max(yv, axis=1)
         zvalid = jnp.min(zv, axis=1) < far
-
-        # (n_tiles, nf) bbox overlap
-        overlap = ((fx_min[None, :] <= tx_max[:, None])
-                   & (fx_max[None, :] >= tx_min[:, None])
-                   & (fy_min[None, :] <= ty_max[:, None])
-                   & (fy_max[None, :] >= ty_min[:, None])
-                   & front[None, :] & zvalid[None, :])
-
-        # smallest face ids first: top_k on (nf - fid) over overlapping faces
         fid = jnp.arange(nf, dtype=jnp.int32)
-        score = jnp.where(overlap, big - fid, jnp.int32(-1))
-        top_vals, _ = jax.lax.top_k(score, cap)          # (n_tiles, cap)
-        cand_valid = top_vals > 0
-        cand = jnp.where(cand_valid, big - top_vals, 0)  # (n_tiles, cap)
+
+        # face bbox -> covered pixel-center index range -> tile range
+        def to_pix(v):
+            return (v * s + s - 1.0) * 0.5
+
+        xi0 = jnp.ceil(to_pix(fx_min)).astype(jnp.int32)
+        xi1 = jnp.floor(to_pix(fx_max)).astype(jnp.int32)
+        yi0 = jnp.ceil(to_pix(fy_min)).astype(jnp.int32)
+        yi1 = jnp.floor(to_pix(fy_max)).astype(jnp.int32)
+        on_screen = (xi0 <= xi1) & (yi0 <= yi1) & (xi1 >= 0) & (xi0 < s) \
+            & (yi1 >= 0) & (yi0 < s)
+        base = front & zvalid & on_screen
+
+        txa = jnp.clip(xi0 // tile, 0, g - 1)
+        txb = jnp.clip(xi1 // tile, 0, g - 1)
+        tya = jnp.clip(yi0 // tile, 0, g - 1)
+        tyb = jnp.clip(yi1 // tile, 0, g - 1)
+        oversized = ((txb - txa) >= SPAN) | ((tyb - tya) >= SPAN)
+
+        # (face, dy, dx) pair keys: tile_id * nf + fid — sorting once bins
+        # every face into its tiles with ascending-fid order inside each
+        # tile (preserving the CUDA z-tie-break).
+        sentinel = jnp.int32(n_tiles * nf)
+        dy = jnp.arange(SPAN, dtype=jnp.int32)
+        dx = jnp.arange(SPAN, dtype=jnp.int32)
+        ty = jnp.minimum(tya[:, None, None] + dy[None, :, None],
+                         tyb[:, None, None])
+        tx = jnp.minimum(txa[:, None, None] + dx[None, None, :],
+                         txb[:, None, None])
+        pair_valid = (base & ~oversized)[:, None, None] \
+            & (tya[:, None, None] + dy[None, :, None] <= tyb[:, None, None]) \
+            & (txa[:, None, None] + dx[None, None, :] <= txb[:, None, None])
+        pair_tile = ty * g + tx
+        keys = jnp.where(pair_valid,
+                         pair_tile * nf + fid[:, None, None],
+                         sentinel)
+        sorted_keys = jnp.sort(keys.reshape(-1))
+        tile_of = sorted_keys // nf
+        fid_of = (sorted_keys % nf).astype(jnp.int32)
+
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
+        starts = jnp.searchsorted(tile_of, tids)
+        idx = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        cand = jnp.take(fid_of, idx, mode="clip")              # (n_tiles, cap)
+        cand_valid = jnp.take(tile_of, idx, mode="clip") == tids[:, None]
+
+        # oversized faces: few and huge; give them to every tile
+        ex_score = jnp.where(base & oversized, big - fid, jnp.int32(-1))
+        ex_vals, _ = jax.lax.top_k(ex_score, EX)
+        ex_valid = ex_vals > 0
+        ex_ids = jnp.where(ex_valid, big - ex_vals, 0)
+        cand = jnp.concatenate(
+            [jnp.broadcast_to(ex_ids[None, :], (n_tiles, EX)), cand], axis=1)
+        cand_valid = jnp.concatenate(
+            [jnp.broadcast_to(ex_valid[None, :], (n_tiles, EX)), cand_valid],
+            axis=1)
 
         if pad:
             cand = jnp.pad(cand, ((0, 0), (0, pad)))

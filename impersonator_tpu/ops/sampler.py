@@ -33,8 +33,10 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    tx = (fx - x0)[..., None]
-    ty = (fy - y0)[..., None]
+    # lerp weights in the input dtype so bf16 features stay bf16
+    # (coordinates themselves stay fp32 for index precision)
+    tx = (fx - x0)[..., None].astype(x.dtype)
+    ty = (fy - y0)[..., None].astype(x.dtype)
 
     flat = x.reshape(b, h * w, c)
 
@@ -45,7 +47,7 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
         lin = (yi * w + xi).reshape(b, ho * wo)
         vals = jnp.take_along_axis(flat, lin[..., None], axis=1)
         vals = vals.reshape(b, ho, wo, c)
-        return vals * valid[..., None]
+        return vals * valid[..., None].astype(x.dtype)
 
     v00 = corner(x0, y0)
     v01 = corner(x0 + 1, y0)
@@ -78,7 +80,9 @@ def resize_bilinear_align(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     def interp_axis(arr, coords, axis):
         lo = jnp.floor(coords).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, arr.shape[axis] - 1)
-        t = (coords - lo).reshape([-1 if i == axis else 1 for i in range(arr.ndim)])
+        t = (coords - lo).reshape(
+            [-1 if i == axis else 1 for i in range(arr.ndim)]
+        ).astype(arr.dtype)
         a = jnp.take(arr, lo, axis=axis)
         b_ = jnp.take(arr, hi, axis=axis)
         return a * (1 - t) + b_ * t

@@ -81,6 +81,37 @@ def build_nets(cfg: TestConfig, assets: SMPLAssets, rng=None) -> ImitatorNets:
     return ImitatorNets(gen, gen_params, hmr, hmr_params, bgnet, bg_params)
 
 
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype")
+        and x.dtype == jnp.float32 else x, tree)
+
+
+def gen_apply(nets: "ImitatorNets", compute_dtype, *args, method: str):
+    """Apply the generator under an optional half-precision compute policy:
+    params + feature inputs cast to ``compute_dtype`` (flow fields stay
+    fp32 for coordinate precision — grid_sample keys off the grid dtype),
+    outputs return fp32. InstanceNorm keeps fp32 statistics internally."""
+    if compute_dtype is None:
+        return nets.generator.apply(nets.gen_params, *args, method=method)
+    params = _cast_tree(nets.gen_params, compute_dtype)
+
+    def cast_in(a):
+        if isinstance(a, (list, tuple)):
+            return type(a)(cast_in(x) for x in a)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 and a.ndim == 4 \
+                and a.shape[-1] != 2:
+            return a.astype(compute_dtype)
+        return a
+
+    args = tuple(cast_in(a) for a in args)
+    out = nets.generator.apply(params, *args, method=method)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if hasattr(x, "dtype")
+        and x.dtype == compute_dtype else x, out)
+
+
 def swap_smpl(src_cam, src_shape, tgt_smpl, first_cam, cam_strategy="smooth"):
     """Keep source identity (cam/shape), take target pose
     (imitator.py:216-234).
@@ -111,7 +142,7 @@ def swap_smpl(src_cam, src_shape, tgt_smpl, first_cam, cam_strategy="smooth"):
 def personalize_core(nets: ImitatorNets, renderer: SMPLRenderer,
                      smpl_params: smpl_ops.SMPLParams, parents,
                      img, src_theta, bg_ks: int, ft_ks: int,
-                     only_vis: bool = False):
+                     only_vis: bool = False, compute_dtype=None):
     """Device-side personalization (imitator.py:83-145, sans file IO).
 
     img: (1, S, S, 3) in [-1, 1]. Returns the cached source state dict.
@@ -129,13 +160,11 @@ def personalize_core(nets: ImitatorNets, renderer: SMPLRenderer,
         bg_img = nets.bgnet.apply(nets.bgnet_params, img, body_mask, only_x=True)
     else:
         bg_inputs = jnp.concatenate([img * bg_mask, bg_mask], axis=-1)
-        bg_img = nets.generator.apply(nets.gen_params, bg_inputs,
-                                      method="run_bg")
+        bg_img = gen_apply(nets, compute_dtype, bg_inputs, method="run_bg")
 
     ft_mask = 1.0 - morphology.morph(cond[..., -1:], ks=ft_ks, mode="erode")
     src_inputs = jnp.concatenate([img * ft_mask, cond], axis=-1)
-    feats = nets.generator.apply(nets.gen_params, src_inputs,
-                                 method="encode_src")
+    feats = gen_apply(nets, compute_dtype, src_inputs, method="encode_src")
     return {
         "theta": info["theta"], "cam": info["cam"], "shape": info["shape"],
         "pose": info["pose"], "j2d": info["j2d"],
@@ -144,9 +173,23 @@ def personalize_core(nets: ImitatorNets, renderer: SMPLRenderer,
     }
 
 
+def imitate_with_swap_core(nets, renderer, smpl_params, parents,
+                           src_state, tgt_smpls, first_cam,
+                           cam_strategy: str = "smooth",
+                           front_warp: bool = False, compute_dtype=None):
+    """Fused per-batch step: cam/shape swap + imitation, fully on device
+    (keeps per-batch host dispatch to ONE call — eager ops round-trip the
+    accelerator tunnel at ~10s of ms each)."""
+    tsf = swap_smpl(src_state["cam"], src_state["shape"], tgt_smpls,
+                    first_cam, cam_strategy)
+    return imitate_core(nets, renderer, smpl_params, parents, src_state,
+                        tsf, front_warp, compute_dtype)
+
+
 def imitate_core(nets: ImitatorNets, renderer: SMPLRenderer,
                  smpl_params: smpl_ops.SMPLParams, parents,
-                 src_state, tsf_theta, front_warp: bool = False):
+                 src_state, tsf_theta, front_warp: bool = False,
+                 compute_dtype=None):
     """One (batched) imitation step given the already-swapped tsf theta.
 
     tsf_theta: (N, 85). Source feats are cached for batch 1 and broadcast
@@ -169,8 +212,8 @@ def imitate_core(nets: ImitatorNets, renderer: SMPLRenderer,
     enc, res = src_state["feats"]
     enc = [jnp.broadcast_to(e, (n,) + e.shape[1:]) for e in enc]
     res = [jnp.broadcast_to(r, (n,) + r.shape[1:]) for r in res]
-    tsf_color, tsf_mask = nets.generator.apply(
-        nets.gen_params, enc, res, tsf_inputs, t, method="inference")
+    tsf_color, tsf_mask = gen_apply(
+        nets, compute_dtype, enc, res, tsf_inputs, t, method="inference")
 
     bg = jnp.broadcast_to(src_state["bg"], (n,) + src_state["bg"].shape[1:])
     preds = tsf_mask * bg + (1.0 - tsf_mask) * tsf_color
@@ -203,14 +246,23 @@ class Imitator:
         self.src_info = None
         self.first_cam = None
 
+        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else None)
+        self.compute_dtype = compute_dtype
         self._personalize_jit = jax.jit(
             partial(personalize_core, self.nets, self.renderer,
                     self.smpl_params, self.parents,
-                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis))
+                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis,
+                    compute_dtype=compute_dtype))
         self._imitate_jit = jax.jit(
             partial(imitate_core, self.nets, self.renderer,
                     self.smpl_params, self.parents,
-                    front_warp=cfg.front_warp))
+                    front_warp=cfg.front_warp, compute_dtype=compute_dtype))
+        self._imitate_swap_jit = jax.jit(
+            partial(imitate_with_swap_core, self.nets, self.renderer,
+                    self.smpl_params, self.parents,
+                    front_warp=cfg.front_warp, compute_dtype=compute_dtype),
+            static_argnames=("cam_strategy",))
         self._hmr_jit = jax.jit(
             lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
 
@@ -243,18 +295,20 @@ class Imitator:
         the TPU replacement for the reference's per-frame python loop
         (imitator.py:158-189)."""
         assert self.src_info is not None, "call personalize() first"
-        smpls = jnp.asarray(np.asarray(tgt_smpls, np.float32))
+        smpls = np.asarray(tgt_smpls, np.float32)
         n = smpls.shape[0]
-        self.first_cam = smpls[0:1, 0:3]
-        tsf = swap_smpl(self.src_info["cam"], self.src_info["shape"],
-                        smpls, self.first_cam, cam_strategy)
-        outs = []
         pad = (-n) % batch
-        if pad:
-            tsf = jnp.concatenate([tsf, jnp.repeat(tsf[-1:], pad, axis=0)])
+        if pad:  # host-side padding; no device round trips
+            smpls = np.concatenate(
+                [smpls, np.repeat(smpls[-1:], pad, axis=0)])
+        first_cam = jnp.asarray(smpls[0:1, 0:3])
+        self.first_cam = first_cam
+        outs = []
         for i in range(0, n + pad, batch):
-            outs.append(self._imitate_jit(self.src_info, tsf[i:i + batch]))
-        return jnp.concatenate(outs, axis=0)[:n]
+            outs.append(self._imitate_swap_jit(
+                self.src_info, jnp.asarray(smpls[i:i + batch]), first_cam,
+                cam_strategy=cam_strategy))
+        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
     def inference(self, tgt_imgs224, cam_strategy: str = "smooth", batch: int = 8):
         """tgt_imgs224: (N, 224, 224, 3) in [-1, 1]; runs HMR per batch then

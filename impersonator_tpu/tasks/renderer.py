@@ -70,11 +70,12 @@ class SMPLRenderer:
             verts, cam, self.faces, self.eye_z_value)
         s = self.image_size
         nf = self.faces.shape[0]
-        tile = 16 if s % 16 == 0 else (8 if s % 8 == 0 else None)
-        if tile is not None and nf > 256:
+        if s % 8 == 0 and nf > 256:
+            # 8px tiles keep worst-case tile occupancy well under cap at
+            # SMPL face densities (measured max ≈150 at 256²)
             fim, wim = rast.rasterize_fim_wim_tiled(
-                f2verts, s, self.near, self.far, tile=tile,
-                cap=min(512, nf))
+                f2verts, s, self.near, self.far, tile=8,
+                cap=min(256, nf))
         else:
             fim, wim = rast.rasterize_fim_wim(
                 f2verts, s, self.near, self.far)

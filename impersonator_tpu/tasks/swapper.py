@@ -45,7 +45,7 @@ def swap_smpl_preserve_scale(src_cam, src_shape, tgt_smpl):
 
 def swap_core(nets, renderer: SMPLRenderer, src_state, tgt_state,
               left_faces: np.ndarray, selected_ids, left_ids,
-              front_warp: bool = False):
+              front_warp: bool = False, compute_dtype=None):
     """Jittable swap step (Swapper.swap + calculate_trans + forward,
     swapper.py:199-271). left_faces is a static index array."""
     s = renderer.image_size
@@ -79,9 +79,9 @@ def swap_core(nets, renderer: SMPLRenderer, src_state, tgt_state,
 
     enc21, res21 = tgt_state["feats"]
     enc11, res11 = src_state["feats"]
-    tsf_color, tsf_mask = nets.generator.apply(
-        nets.gen_params, tsf_inputs, enc21, enc11, res21, res11, t21, t11,
-        method="swap")
+    tsf_color, tsf_mask = imitator_mod.gen_apply(
+        nets, compute_dtype, tsf_inputs, enc21, enc11, res21, res11, t21,
+        t11, method="swap")
     preds = tsf_mask * src_state["bg"] + (1 - tsf_mask) * tsf_color
 
     if front_warp:
@@ -144,6 +144,9 @@ class Swapper:
         left_faces = (np.unique(np.concatenate(
             [self.part_faces[i] for i in left])) if left
             else np.zeros((0,), np.int64))
+        compute_dtype = (jnp.bfloat16
+                         if self.cfg.compute_dtype == "bfloat16" else None)
         return swap_core(self.nets, self.renderer, src_info, tgt_info,
                          left_faces, tuple(selected), tuple(left),
-                         front_warp=self.cfg.front_warp)
+                         front_warp=self.cfg.front_warp,
+                         compute_dtype=compute_dtype)

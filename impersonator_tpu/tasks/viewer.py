@@ -26,7 +26,8 @@ from impersonator_tpu.tasks.renderer import SMPLRenderer
 
 
 def view_core(nets, renderer: SMPLRenderer, src_state, rot_mats, trans,
-              bg_replace: bool = False, front_warp: bool = False):
+              bg_replace: bool = False, front_warp: bool = False,
+              compute_dtype=None):
     """Batched novel-view step (Viewer.view, viewer.py:273-305).
 
     rot_mats: (N, 3, 3); trans: (N, 3). Uses verts @ R + t — the
@@ -52,8 +53,8 @@ def view_core(nets, renderer: SMPLRenderer, src_state, rot_mats, trans,
     enc, res = src_state["feats"]
     enc = [jnp.broadcast_to(e, (n,) + e.shape[1:]) for e in enc]
     res = [jnp.broadcast_to(r, (n,) + r.shape[1:]) for r in res]
-    tsf_color, tsf_mask = nets.generator.apply(
-        nets.gen_params, enc, res, tsf_inputs, t, method="inference")
+    tsf_color, tsf_mask = imitator_mod.gen_apply(
+        nets, compute_dtype, enc, res, tsf_inputs, t, method="inference")
 
     bg = (jnp.broadcast_to(src_state["bg"], (n,) + src_state["bg"].shape[1:])
           if bg_replace else jnp.zeros((n,) + src_state["bg"].shape[1:]))
@@ -86,9 +87,12 @@ class Viewer:
             partial(imitator_mod.personalize_core, self.nets, self.renderer,
                     self.smpl_params, self.parents,
                     bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis))
+        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else None)
         self._view_jit = jax.jit(
             partial(view_core, self.nets, self.renderer,
-                    bg_replace=cfg.bg_replace, front_warp=cfg.front_warp))
+                    bg_replace=cfg.bg_replace, front_warp=cfg.front_warp,
+                    compute_dtype=compute_dtype))
         self._hmr_jit = jax.jit(
             lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
 

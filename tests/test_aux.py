@@ -152,3 +152,22 @@ def test_native_loader_matches_cv2(tmp_path, rng):
     tags = [loader.next()[1] for _ in range(5)]
     assert tags == list(range(5))
     loader.close()
+
+
+def test_frechet_distance_properties(rng):
+    from impersonator_tpu.metrics import frechet_distance, gaussian_stats
+    a = rng.normal(0, 1, (500, 8))
+    mu, sigma = gaussian_stats(a)
+    assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-4)
+    b = rng.normal(3, 1, (500, 8))
+    mu2, sigma2 = gaussian_stats(b)
+    d = frechet_distance(mu, sigma, mu2, sigma2)
+    assert d > 50  # 8 dims * 9 mean-shift
+
+def test_inception_score_bounds(rng):
+    from impersonator_tpu.metrics import inception_score
+    # one-hot diverse predictions -> high IS; uniform -> IS == 1
+    onehot = np.eye(10)[rng.integers(0, 10, 200)]
+    assert inception_score(onehot, splits=4) > 5.0
+    uniform = np.ones((200, 10)) / 10
+    assert inception_score(uniform, splits=4) == pytest.approx(1.0, abs=1e-5)

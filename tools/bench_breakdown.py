@@ -1,6 +1,9 @@
 """Per-stage throughput breakdown of the imitation pipeline on the
 attached accelerator. Run: python tools/bench_breakdown.py [batch]"""
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import sys
 import time
 
