@@ -264,11 +264,14 @@ def rasterize_fim_wim_tiled(
     cap_pad = cap + EX + pad
     n_chunks = cap_pad // chunk
 
-    front_all, inv_all = _face_geometry(face_verts, s)
-
     xv_all = face_verts[..., 0]
     yv_all = face_verts[..., 1]
     zv_all = face_verts[..., 2]
+    # backface cull (rasterize_cuda_kernel.cu:57-58)
+    front_all = ((yv_all[..., 2] - yv_all[..., 0])
+                 * (xv_all[..., 1] - xv_all[..., 0])
+                 >= (yv_all[..., 1] - yv_all[..., 0])
+                 * (xv_all[..., 2] - xv_all[..., 0]))
 
     # pixel-center coordinates of each tile, (n_tiles, tpx)
     xi = jnp.arange(s, dtype=jnp.float32)
@@ -291,85 +294,94 @@ def rasterize_fim_wim_tiled(
     big = jnp.int32(nf)
 
     # span of the per-face tile-enumeration window; faces wider than
-    # SPAN×SPAN tiles (rare: >SPAN·tile px bboxes) go through the
-    # "extras" path and are prepended to EVERY tile's candidates.
-    SPAN = 4
+    # SPAN×SPAN tiles (>SPAN·tile-px bboxes — at 8px tiles SMPL faces span
+    # at most 2 tiles per axis) go through the "extras" path and are
+    # prepended to EVERY tile's candidate list.
+    SPAN = 2
+
+    # ---- candidate build, batched over B (one sort for the whole batch,
+    # (face, dy, dx) pair keys tile_id*nf + fid: sorting bins every face
+    # into its tiles in ascending-fid order, preserving the CUDA
+    # z-tie-break) -------------------------------------------------------
+    fx_min = jnp.min(xv_all, axis=2)   # (B, nf)
+    fx_max = jnp.max(xv_all, axis=2)
+    fy_min = jnp.min(yv_all, axis=2)
+    fy_max = jnp.max(yv_all, axis=2)
+    zvalid = jnp.min(zv_all, axis=2) < far
+    fid = jnp.arange(nf, dtype=jnp.int32)[None, :]  # (1, nf)
+
+    def to_pix(v):  # face bbox -> covered pixel-center index range
+        return (v * s + s - 1.0) * 0.5
+
+    xi0 = jnp.ceil(to_pix(fx_min)).astype(jnp.int32)
+    xi1 = jnp.floor(to_pix(fx_max)).astype(jnp.int32)
+    yi0 = jnp.ceil(to_pix(fy_min)).astype(jnp.int32)
+    yi1 = jnp.floor(to_pix(fy_max)).astype(jnp.int32)
+    on_screen = (xi0 <= xi1) & (yi0 <= yi1) & (xi1 >= 0) & (xi0 < s) \
+        & (yi1 >= 0) & (yi0 < s)
+    base = front_all & zvalid & on_screen   # (B, nf)
+
+    txa = jnp.clip(xi0 // tile, 0, g - 1)
+    txb = jnp.clip(xi1 // tile, 0, g - 1)
+    tya = jnp.clip(yi0 // tile, 0, g - 1)
+    tyb = jnp.clip(yi1 // tile, 0, g - 1)
+    oversized = ((txb - txa) >= SPAN) | ((tyb - tya) >= SPAN)
+
+    sentinel = jnp.int32(n_tiles * nf)
+    dy = jnp.arange(SPAN, dtype=jnp.int32)
+    dx = jnp.arange(SPAN, dtype=jnp.int32)
+    tyq = jnp.minimum(tya[..., None, None] + dy[None, None, :, None],
+                      tyb[..., None, None])
+    txq = jnp.minimum(txa[..., None, None] + dx[None, None, None, :],
+                      txb[..., None, None])
+    pair_valid = (base & ~oversized)[..., None, None] \
+        & (tya[..., None, None] + dy[None, None, :, None]
+           <= tyb[..., None, None]) \
+        & (txa[..., None, None] + dx[None, None, None, :]
+           <= txb[..., None, None])
+    keys = jnp.where(pair_valid,
+                     (tyq * g + txq) * nf + fid[..., None, None],
+                     sentinel)
+    sorted_keys = jnp.sort(keys.reshape(b, -1), axis=-1)   # (B, nf·SPAN²)
+    tile_of = sorted_keys // nf
+    fid_of = (sorted_keys % nf).astype(jnp.int32)
+
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jax.vmap(lambda t: jnp.searchsorted(t, tids))(tile_of)
+    idx = (starts[..., None]
+           + jnp.arange(cap, dtype=jnp.int32)[None, None, :])  # (B, T, cap)
+    flat_idx = idx.reshape(b, -1)
+    cand = jnp.take_along_axis(
+        fid_of, jnp.clip(flat_idx, 0, fid_of.shape[1] - 1), axis=1
+    ).reshape(b, n_tiles, cap)
+    cand_tile = jnp.take_along_axis(
+        tile_of, jnp.clip(flat_idx, 0, tile_of.shape[1] - 1), axis=1
+    ).reshape(b, n_tiles, cap)
+    cand_valid = cand_tile == tids[None, :, None]
+
+    # oversized faces: few and huge; give them to every tile
+    ex_score = jnp.where(base & oversized, big - fid, jnp.int32(-1))
+    ex_vals, _ = jax.lax.top_k(ex_score, EX)                # (B, EX)
+    ex_valid = (ex_vals > 0)[:, None, :]
+    ex_ids = jnp.where(ex_vals > 0, big - ex_vals, 0)[:, None, :]
+    cand = jnp.concatenate(
+        [jnp.broadcast_to(ex_ids, (b, n_tiles, EX)), cand], axis=2)
+    cand_valid = jnp.concatenate(
+        [jnp.broadcast_to(ex_valid, (b, n_tiles, EX)), cand_valid], axis=2)
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, pad)))
+        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, 0), (0, pad)))
+
+    # pack per-face data into one contiguous 9-float row so the per-tile
+    # candidate gather is a single row-gather; the inverse-barycentric
+    # matrix is recomputed in-kernel (cheap per-(tile,slot) vector math vs
+    # gathering 9 more floats per candidate).
+    packed = face_verts.reshape(b, nf, 9)  # [x0 y0 z0 x1 y1 z1 x2 y2 z2]
 
     def per_sample(args):
-        xv, yv, zv, inv, front = args  # (nf, 3), (nf, 3, 3), (nf,)
+        verts9, cand, cand_valid = args
 
-        fx_min = jnp.min(xv, axis=1)
-        fx_max = jnp.max(xv, axis=1)
-        fy_min = jnp.min(yv, axis=1)
-        fy_max = jnp.max(yv, axis=1)
-        zvalid = jnp.min(zv, axis=1) < far
-        fid = jnp.arange(nf, dtype=jnp.int32)
-
-        # face bbox -> covered pixel-center index range -> tile range
-        def to_pix(v):
-            return (v * s + s - 1.0) * 0.5
-
-        xi0 = jnp.ceil(to_pix(fx_min)).astype(jnp.int32)
-        xi1 = jnp.floor(to_pix(fx_max)).astype(jnp.int32)
-        yi0 = jnp.ceil(to_pix(fy_min)).astype(jnp.int32)
-        yi1 = jnp.floor(to_pix(fy_max)).astype(jnp.int32)
-        on_screen = (xi0 <= xi1) & (yi0 <= yi1) & (xi1 >= 0) & (xi0 < s) \
-            & (yi1 >= 0) & (yi0 < s)
-        base = front & zvalid & on_screen
-
-        txa = jnp.clip(xi0 // tile, 0, g - 1)
-        txb = jnp.clip(xi1 // tile, 0, g - 1)
-        tya = jnp.clip(yi0 // tile, 0, g - 1)
-        tyb = jnp.clip(yi1 // tile, 0, g - 1)
-        oversized = ((txb - txa) >= SPAN) | ((tyb - tya) >= SPAN)
-
-        # (face, dy, dx) pair keys: tile_id * nf + fid — sorting once bins
-        # every face into its tiles with ascending-fid order inside each
-        # tile (preserving the CUDA z-tie-break).
-        sentinel = jnp.int32(n_tiles * nf)
-        dy = jnp.arange(SPAN, dtype=jnp.int32)
-        dx = jnp.arange(SPAN, dtype=jnp.int32)
-        ty = jnp.minimum(tya[:, None, None] + dy[None, :, None],
-                         tyb[:, None, None])
-        tx = jnp.minimum(txa[:, None, None] + dx[None, None, :],
-                         txb[:, None, None])
-        pair_valid = (base & ~oversized)[:, None, None] \
-            & (tya[:, None, None] + dy[None, :, None] <= tyb[:, None, None]) \
-            & (txa[:, None, None] + dx[None, None, :] <= txb[:, None, None])
-        pair_tile = ty * g + tx
-        keys = jnp.where(pair_valid,
-                         pair_tile * nf + fid[:, None, None],
-                         sentinel)
-        sorted_keys = jnp.sort(keys.reshape(-1))
-        tile_of = sorted_keys // nf
-        fid_of = (sorted_keys % nf).astype(jnp.int32)
-
-        tids = jnp.arange(n_tiles, dtype=jnp.int32)
-        starts = jnp.searchsorted(tile_of, tids)
-        idx = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-        cand = jnp.take(fid_of, idx, mode="clip")              # (n_tiles, cap)
-        cand_valid = jnp.take(tile_of, idx, mode="clip") == tids[:, None]
-
-        # oversized faces: few and huge; give them to every tile
-        ex_score = jnp.where(base & oversized, big - fid, jnp.int32(-1))
-        ex_vals, _ = jax.lax.top_k(ex_score, EX)
-        ex_valid = ex_vals > 0
-        ex_ids = jnp.where(ex_valid, big - ex_vals, 0)
-        cand = jnp.concatenate(
-            [jnp.broadcast_to(ex_ids[None, :], (n_tiles, EX)), cand], axis=1)
-        cand_valid = jnp.concatenate(
-            [jnp.broadcast_to(ex_valid[None, :], (n_tiles, EX)), cand_valid],
-            axis=1)
-
-        if pad:
-            cand = jnp.pad(cand, ((0, 0), (0, pad)))
-            cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
-
-        # gather candidate face data per tile
-        cxv = xv[cand]            # (n_tiles, cap_pad, 3)
-        cyv = yv[cand]
-        czv = zv[cand]
-        cinv = inv[cand]          # (n_tiles, cap_pad, 3, 3)
+        cdata = verts9[cand]      # (n_tiles, cap_pad, 9) — one gather
 
         init = (
             jnp.full((n_tiles, tpx), far, jnp.float32),
@@ -381,44 +393,60 @@ def rasterize_fim_wim_tiled(
             return (a.reshape((n_tiles, n_chunks, chunk) + a.shape[2:])
                      .swapaxes(0, 1))
 
-        scan_in = (reshape_chunks(cxv), reshape_chunks(cyv),
-                   reshape_chunks(czv), reshape_chunks(cinv),
+        scan_in = (reshape_chunks(cdata),
                    reshape_chunks(cand), reshape_chunks(cand_valid))
 
         def body(state, inputs):
-            hxv, hyv, hzv, hinv, hids, hvalid = inputs
+            hdat, hids, hvalid = inputs        # (T, C, 9), (T, C), (T, C)
             best_z, best_i, best_w = state
-            fx0, fx1, fx2 = (hxv[..., k][:, None, :] for k in range(3))
-            fy0, fy1, fy2 = (hyv[..., k][:, None, :] for k in range(3))
+            fx0, fy0, fz0 = hdat[..., 0], hdat[..., 1], hdat[..., 2]
+            fx1, fy1, fz1 = hdat[..., 3], hdat[..., 4], hdat[..., 5]
+            fx2, fy2, fz2 = hdat[..., 6], hdat[..., 7], hdat[..., 8]
+
+            # inverse-barycentric rows in pixel-index space, per (tile, slot)
+            sf = float(s)
+            p0x = 0.5 * (fx0 * sf + sf - 1.0)
+            p0y = 0.5 * (fy0 * sf + sf - 1.0)
+            p1x = 0.5 * (fx1 * sf + sf - 1.0)
+            p1y = 0.5 * (fy1 * sf + sf - 1.0)
+            p2x = 0.5 * (fx2 * sf + sf - 1.0)
+            p2y = 0.5 * (fy2 * sf + sf - 1.0)
+            denom = (p2x * (p0y - p1y) + p0x * (p1y - p2y)
+                     + p1x * (p2y - p0y))
+            rden = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+            i00 = (p1y - p2y) * rden
+            i01 = (p2x - p1x) * rden
+            i02 = (p1x * p2y - p2x * p1y) * rden
+            i10 = (p2y - p0y) * rden
+            i11 = (p0x - p2x) * rden
+            i12 = (p2x * p0y - p0x * p2y) * rden
+            i20 = (p0y - p1y) * rden
+            i21 = (p1x - p0x) * rden
+            i22 = (p0x * p1y - p1x * p0y) * rden
+            rz0 = 1.0 / fz0
+            rz1 = 1.0 / fz1
+            rz2 = 1.0 / fz2
+
+            def bc(a):  # (T, C) -> (T, 1, C) for pixel broadcasting
+                return a[:, None, :]
+
             pxp = xp_t[:, :, None]
             pyp = yp_t[:, :, None]
-
-            t0 = (pyp - fy0) * (fx1 - fx0) - (pxp - fx0) * (fy1 - fy0)
-            t1 = (pyp - fy1) * (fx2 - fx1) - (pxp - fx1) * (fy2 - fy1)
-            t2 = (pyp - fy2) * (fx0 - fx2) - (pxp - fx2) * (fy0 - fy2)
+            t0 = (pyp - bc(fy0)) * bc(fx1 - fx0) - (pxp - bc(fx0)) * bc(fy1 - fy0)
+            t1 = (pyp - bc(fy1)) * bc(fx2 - fx1) - (pxp - bc(fx1)) * bc(fy2 - fy1)
+            t2 = (pyp - bc(fy2)) * bc(fx0 - fx2) - (pxp - bc(fx2)) * bc(fy0 - fy2)
             inside = (t0 >= 0) & (t1 >= 0) & (t2 >= 0)
 
             pxi = xif_t[:, :, None]
             pyi = yif_t[:, :, None]
-            w0 = (hinv[..., 0, 0][:, None, :] * pxi
-                  + hinv[..., 0, 1][:, None, :] * pyi
-                  + hinv[..., 0, 2][:, None, :])
-            w1 = (hinv[..., 1, 0][:, None, :] * pxi
-                  + hinv[..., 1, 1][:, None, :] * pyi
-                  + hinv[..., 1, 2][:, None, :])
-            w2 = (hinv[..., 2, 0][:, None, :] * pxi
-                  + hinv[..., 2, 1][:, None, :] * pyi
-                  + hinv[..., 2, 2][:, None, :])
-            w0 = jnp.clip(w0, 0.0, 1.0)
-            w1 = jnp.clip(w1, 0.0, 1.0)
-            w2 = jnp.clip(w2, 0.0, 1.0)
+            w0 = jnp.clip(bc(i00) * pxi + bc(i01) * pyi + bc(i02), 0.0, 1.0)
+            w1 = jnp.clip(bc(i10) * pxi + bc(i11) * pyi + bc(i12), 0.0, 1.0)
+            w2 = jnp.clip(bc(i20) * pxi + bc(i21) * pyi + bc(i22), 0.0, 1.0)
             wsum = w0 + w1 + w2
             wsum = jnp.where(wsum == 0.0, 1.0, wsum)
             w0, w1, w2 = w0 / wsum, w1 / wsum, w2 / wsum
 
-            inv_z = (w0 / hzv[..., 0][:, None, :]
-                     + w1 / hzv[..., 1][:, None, :]
-                     + w2 / hzv[..., 2][:, None, :])
+            inv_z = w0 * bc(rz0) + w1 * bc(rz1) + w2 * bc(rz2)
             zp = 1.0 / inv_z
             valid = (inside & hvalid[:, None, :]
                      & (zp > near) & (zp < far))
@@ -448,6 +476,5 @@ def rasterize_fim_wim_tiled(
 
         return untile(best_i), untile(best_w)
 
-    fim, wim = jax.lax.map(per_sample,
-                           (xv_all, yv_all, zv_all, inv_all, front_all))
+    fim, wim = jax.lax.map(per_sample, (packed, cand, cand_valid))
     return fim[:, ::-1, :], wim[:, ::-1, :, :]

@@ -75,7 +75,7 @@ class SMPLRenderer:
             # SMPL face densities (measured max ≈150 at 256²)
             fim, wim = rast.rasterize_fim_wim_tiled(
                 f2verts, s, self.near, self.far, tile=8,
-                cap=min(256, nf))
+                cap=min(288, nf))
         else:
             fim, wim = rast.rasterize_fim_wim(
                 f2verts, s, self.near, self.far)

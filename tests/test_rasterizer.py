@@ -163,8 +163,9 @@ def test_tiled_matches_brute_smpl_body(assets):
                                                 cap=assets.nf, chunk=64)
     fim_a, fim_b = np.asarray(fim_a), np.asarray(fim_b)
     assert (fim_a == fim_b).all()
+    # in-kernel inv recompute uses reciprocal-multiply: ULP-level wim diff
     np.testing.assert_allclose(np.asarray(wim_a), np.asarray(wim_b),
-                               atol=1e-6)
+                               atol=1e-5)
 
 
 def test_tiled_cap_overflow_degrades_gracefully():
