@@ -156,6 +156,12 @@ class SMPLAssets:
         elif name == "ids":
             body = np.arange(0, 1, 1.0 / nf, dtype=np.float32)[:nf, None]
             bg = np.array([[-1.0]], np.float32)
+        elif name == "binary":
+            width = len(np.binary_repr(nf))
+            body = np.stack([
+                np.array(list(np.binary_repr(i, width=width)), np.float32)
+                for i in range(nf)])
+            bg = np.zeros((1, width), np.float32) - 1.0
         else:
             raise ValueError(f"unknown map name: {name}")
         return np.concatenate([body, bg], axis=0).astype(np.float32)
@@ -174,7 +180,9 @@ class SMPLAssets:
 
 def map_fn_dim(map_name: str) -> int:
     """Channel count of each encoding (mesh.get_map_fn_dim, mesh.py:446-473)."""
-    dims = {"seg": 1, "uv": 2, "uv_seg": 3, "par": 11, "ids": 1, "front": 1, "head": 1, "back": 1}
+    # 'binary' is len(bin(nf))+1 = 15 for the real SMPL's 13776 faces
+    dims = {"seg": 1, "uv": 2, "uv_seg": 3, "par": 11, "ids": 1,
+            "front": 1, "head": 1, "back": 1, "binary": 15}
     if map_name not in dims:
         raise ValueError(f"map name error {map_name}")
     return dims[map_name]

@@ -213,6 +213,33 @@ class SyntheticPairDataset(_Dataset):
         return out
 
 
+class ImPerFashionPlaceDataset(_Dataset):
+    """iPER + DeepFashion pairs pooled, each with a random Places2
+    background (the all-set trainer's stream,
+    data/imper_fashion_place_dataset.py + ImpersonatorAllSetTrain,
+    impersonator_trainer_aug.py:526-566)."""
+
+    def __init__(self, imper: ImPerDataset, fashion: FashionPairDataset,
+                 place: PlaceDataset, seed: int = 0):
+        self.sources = [d for d in (imper, fashion) if len(d) > 0]
+        self.place = place
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return sum(len(d) for d in self.sources)
+
+    def __getitem__(self, idx):
+        for d in self.sources:
+            if idx < len(d):
+                sample = d[idx]
+                break
+            idx -= len(d)
+        else:
+            sample = self.sources[0][idx]
+        sample["bg"] = self.place[self.rng.randrange(len(self.place))]["bg"]
+        return sample
+
+
 def dataset_by_name(name: str, cfg):
     """Dataset registry (reference data/dataset.py:15-41)."""
     if name == "iPER":
@@ -225,6 +252,12 @@ def dataset_by_name(name: str, cfg):
             PlaceDataset(cfg.place_dir, cfg.image_size))
     if name == "fashion":
         return FashionPairDataset(cfg.fashion_dir, image_size=cfg.image_size)
+    if name == "iPER_fashion_place":
+        return ImPerFashionPlaceDataset(
+            ImPerDataset(cfg.data_dir, cfg.train_ids_file, cfg.image_size,
+                         cfg.images_folder, cfg.smpls_folder),
+            FashionPairDataset(cfg.fashion_dir, image_size=cfg.image_size),
+            PlaceDataset(cfg.place_dir, cfg.image_size))
     if name == "place":
         return PlaceDataset(cfg.place_dir, cfg.image_size)
     if name == "synthetic":

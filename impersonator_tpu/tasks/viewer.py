@@ -116,6 +116,20 @@ class Viewer:
         tr = jnp.asarray(t, jnp.float32)[None]
         return self._view_jit(self.src_info, r, tr)
 
+    def post_personalize(self, prior_smpls=None, epochs: int = 5,
+                         lr: float = 2e-4):
+        """Viewer post-tune: identical recipe to the imitator's
+        (Viewer.post_personalize, viewer.py:316-444 = imitator.py:344-472
+        with the same losses/budget)."""
+        from impersonator_tpu.tasks.post_tune import adaptive_personalize
+        metrics = adaptive_personalize(self, prior_smpls, epochs=epochs, lr=lr)
+        # adaptive_personalize refreshes src_info through the imitator
+        # personalize path, which doesn't cache verts — restore them
+        det = smpl_ops.get_details(self.smpl_params, self.src_info["theta"],
+                                   self.parents)
+        self.src_info["verts"] = det["verts"]
+        return metrics
+
     def view_sweep(self, yaws, t=(0.0, 0.0, 0.0)):
         """Batched yaw sweep (run_view.py:58-74): all angles in one call."""
         rots = jnp.stack([euler_to_matrix(jnp.asarray([0.0, y, 0.0]))

@@ -88,3 +88,28 @@ def test_map_fn_dims(assets):
                       ("front", 1), ("back", 1), ("head", 1), ("ids", 1)]:
         m = assets.map_fn(name)
         assert m.shape == (assets.nf + 1, dim), name
+
+
+def test_binary_and_ids_maps(assets):
+    import math
+    width = len(np.binary_repr(assets.nf))
+    m = assets.map_fn("binary")
+    assert m.shape == (assets.nf + 1, width)
+    # row i encodes i in binary
+    row = m[5][:width]
+    assert int("".join(str(int(v)) for v in row), 2) == 5
+    np.testing.assert_allclose(m[-1], -1.0)
+
+
+def test_texture_extraction(assets, rng):
+    from impersonator_tpu.tasks.renderer import SMPLRenderer
+    from impersonator_tpu.ops import smpl as smpl_ops
+    renderer = SMPLRenderer.create(assets, image_size=32, tex_size=3)
+    params = smpl_ops.SMPLParams.from_assets(assets)
+    verts, _, _ = smpl_ops.smpl_forward(
+        params, jnp.zeros((1, 10)), jnp.zeros((1, 72)), assets.parents)
+    cam = jnp.asarray([[0.9, 0.0, 0.0]])
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    tex = renderer.extract_texture(img, cam, verts)
+    assert tex.shape == (1, assets.nf, 9, 3)
+    assert np.isfinite(np.asarray(tex)).all()

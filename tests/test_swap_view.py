@@ -78,3 +78,30 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored.g_params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_front_warp_imitation():
+    """front_warp pastes the warped source face over the head region
+    (imitator.warp_front, imitator.py:338-342)."""
+    from impersonator_tpu.config import TestConfig
+    from impersonator_tpu.tasks.imitator import Imitator
+    cfg = TestConfig(image_size=S, repeat_num=1, front_warp=True)
+    imit = Imitator(cfg, assets=A.synthetic_assets())
+    rng = np.random.default_rng(0)
+    imit.personalize(rng.uniform(-1, 1, (S, S, 3)).astype(np.float32),
+                     src_smpl=_theta())
+    preds = imit.inference_by_smpls(np.stack([_theta(0.02, 1)]), batch=1)
+    assert preds.shape == (1, S, S, 3)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_viewer_post_personalize():
+    cfg = TestConfig(image_size=S, repeat_num=1)
+    viewer = Viewer(cfg, assets=A.synthetic_assets())
+    rng = np.random.default_rng(0)
+    viewer.personalize(rng.uniform(-1, 1, (S, S, 3)).astype(np.float32),
+                       smpl=_theta())
+    metrics = viewer.post_personalize(epochs=1)
+    assert np.isfinite(float(metrics["total"]))
+    preds = viewer.view_sweep([0.0, 120.0])
+    assert preds.shape == (2, S, S, 3)
