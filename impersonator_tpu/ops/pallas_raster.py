@@ -1,0 +1,170 @@
+"""Pallas TPU kernel for the rasterizer's z-buffer stage.
+
+The tiled rasterizer (ops/rasterizer.py) splits work into
+(a) candidate binning — gather/sort ops that XLA handles well — and
+(b) the z-buffer: for every 8×8 pixel tile, test its ≤cap candidate
+faces and keep the nearest. Stage (b) is pure VPU math with a reduction;
+this kernel runs it with pixels on sublanes (tpx=64) and candidate faces
+on lanes (chunks of 128), carrying the running (depth, id, weights)
+winner through an unrolled chunk loop in registers — no HBM-materialized
+(tile, pixel, face) intermediates and no lax.map serialization.
+
+Semantics identical to the XLA path (same formulas, same
+lowest-candidate-slot tie-break); ``interpret=True`` runs it on CPU for
+tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = (1 << 30)  # python literal: jnp constants would be captured tracers
+
+
+def _make_kernel(s: int, g: int, tile: int, n_chunks: int, chunk: int,
+                 near: float, far: float):
+    tpx = tile * tile
+
+    def kernel(cdata_ref, cand_ref, valid_ref, fim_ref, w0_ref, w1_ref, w2_ref):
+        t = pl.program_id(1)
+        ty = t // g
+        tx = t % g
+
+        # pixel coordinates of this tile, (tpx, 1), row-major (y, x).
+        # Built via div/mod on a flat iota — Mosaic rejects (t, t)->(tpx, 1)
+        # shape casts, and TPU iota must be integer-typed.
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (tpx, 1), 0)
+        yi = (pidx // tile + ty * tile).astype(jnp.float32)
+        xi = (pidx % tile + tx * tile).astype(jnp.float32)
+        sf = float(s)
+        xp = (2.0 * xi + 1.0 - sf) / sf
+        yp = (2.0 * yi + 1.0 - sf) / sf
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tpx, chunk), 1)
+
+        best_z = jnp.full((tpx, 1), far, jnp.float32)
+        best_i = jnp.full((tpx, 1), -1, jnp.int32)
+        best_w0 = jnp.zeros((tpx, 1), jnp.float32)
+        best_w1 = jnp.zeros((tpx, 1), jnp.float32)
+        best_w2 = jnp.zeros((tpx, 1), jnp.float32)
+
+        for c in range(n_chunks):
+            sl = pl.ds(c * chunk, chunk)
+            d = cdata_ref[0, 0, :, sl]         # (9, C)
+            ids = cand_ref[0, 0, :, sl]        # (1, C)
+            ok = valid_ref[0, 0, :, sl] > 0    # (1, C)
+
+            fx0, fy0, fz0 = d[0:1, :], d[1:2, :], d[2:3, :]
+            fx1, fy1, fz1 = d[3:4, :], d[4:5, :], d[5:6, :]
+            fx2, fy2, fz2 = d[6:7, :], d[7:8, :], d[8:9, :]
+
+            # inverse-barycentric rows (pixel-index space), per (1, C)
+            p0x = 0.5 * (fx0 * sf + sf - 1.0)
+            p0y = 0.5 * (fy0 * sf + sf - 1.0)
+            p1x = 0.5 * (fx1 * sf + sf - 1.0)
+            p1y = 0.5 * (fy1 * sf + sf - 1.0)
+            p2x = 0.5 * (fx2 * sf + sf - 1.0)
+            p2y = 0.5 * (fy2 * sf + sf - 1.0)
+            denom = (p2x * (p0y - p1y) + p0x * (p1y - p2y)
+                     + p1x * (p2y - p0y))
+            rden = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+
+            # inside test at pixel centers, (tpx, C)
+            t0 = (yp - fy0) * (fx1 - fx0) - (xp - fx0) * (fy1 - fy0)
+            t1 = (yp - fy1) * (fx2 - fx1) - (xp - fx1) * (fy2 - fy1)
+            t2 = (yp - fy2) * (fx0 - fx2) - (xp - fx2) * (fy0 - fy2)
+            inside = (t0 >= 0) & (t1 >= 0) & (t2 >= 0)
+
+            w0 = jnp.clip(((p1y - p2y) * rden) * xi + ((p2x - p1x) * rden) * yi
+                          + (p1x * p2y - p2x * p1y) * rden, 0.0, 1.0)
+            w1 = jnp.clip(((p2y - p0y) * rden) * xi + ((p0x - p2x) * rden) * yi
+                          + (p2x * p0y - p0x * p2y) * rden, 0.0, 1.0)
+            w2 = jnp.clip(((p0y - p1y) * rden) * xi + ((p1x - p0x) * rden) * yi
+                          + (p0x * p1y - p1x * p0y) * rden, 0.0, 1.0)
+            wsum = w0 + w1 + w2
+            wsum = jnp.where(wsum == 0.0, 1.0, wsum)
+            w0, w1, w2 = w0 / wsum, w1 / wsum, w2 / wsum
+
+            inv_z = w0 / fz0 + w1 / fz1 + w2 / fz2
+            zp = 1.0 / inv_z
+            valid = inside & ok & (zp > near) & (zp < far)
+            zp = jnp.where(valid, zp, far)
+
+            # lane-wise winner: min depth, then lowest slot on ties
+            lz = jnp.min(zp, axis=1, keepdims=True)          # (tpx, 1)
+            at_min = zp == lz
+            li = jnp.min(jnp.where(at_min, lane, BIG), axis=1,
+                         keepdims=True)                      # (tpx, 1)
+            sel = lane == li
+
+            def pick(v):
+                return jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+
+            lid = jnp.sum(jnp.where(sel, jnp.broadcast_to(ids, (tpx, chunk)),
+                                    0), axis=1, keepdims=True)
+
+            better = lz < best_z
+            best_w0 = jnp.where(better, pick(w0), best_w0)
+            best_w1 = jnp.where(better, pick(w1), best_w1)
+            best_w2 = jnp.where(better, pick(w2), best_w2)
+            best_i = jnp.where(better, lid.astype(jnp.int32), best_i)
+            best_z = jnp.where(better, lz, best_z)
+
+        fim_ref[0, 0] = best_i
+        w0_ref[0, 0] = best_w0
+        w1_ref[0, 0] = best_w1
+        w2_ref[0, 0] = best_w2
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("s", "tile", "near", "far", "chunk",
+                                   "interpret"))
+def zbuffer_tiles(cdata_t, cand_t, valid_t, s: int, tile: int,
+                  near: float, far: float, chunk: int = 128,
+                  interpret: bool = False):
+    """Run the z-buffer over all tiles.
+
+    cdata_t: (B, n_tiles, 9, cap_pad) packed candidate verts (transposed
+             so lanes index candidates)
+    cand_t:  (B, n_tiles, 1, cap_pad) int32 face ids
+    valid_t: (B, n_tiles, 1, cap_pad) int32 validity
+    Returns flat per-tile maps: fim (B, n_tiles, tpx, 1) int32 and
+    w0/w1/w2 (B, n_tiles, tpx, 1) float32 (row-major pixels within tile).
+    """
+    b, n_tiles, _, cap_pad = cdata_t.shape
+    g = int(round((n_tiles) ** 0.5))
+    assert g * g == n_tiles
+    assert cap_pad % chunk == 0
+    n_chunks = cap_pad // chunk
+
+    kernel = _make_kernel(s, g, tile, n_chunks, chunk, near, far)
+    grid = (b, n_tiles)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 9, cap_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cap_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cap_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, tile * tile, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(4)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_tiles, tile * tile, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_tiles, tile * tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, tile * tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, tile * tile, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(cdata_t, cand_t, valid_t)

@@ -95,7 +95,7 @@ def _face_geometry(face_verts, image_size):
     return front, inv
 
 
-@partial(jax.jit, static_argnames=("image_size", "chunk"))
+@partial(jax.jit, static_argnames=("image_size", "near", "far", "chunk"))
 def rasterize_fim_wim(
     face_verts: jax.Array,
     image_size: int = 256,
@@ -235,7 +235,8 @@ def render_silhouette(fim: jax.Array) -> jax.Array:
 # the CUDA kernel's lowest-index tie-break. Work drops ~16×; memory stays
 # bounded by scanning over the batch.
 
-@partial(jax.jit, static_argnames=("image_size", "tile", "cap", "chunk"))
+@partial(jax.jit, static_argnames=("image_size", "near", "far", "tile",
+                                   "cap", "chunk", "backend"))
 def rasterize_fim_wim_tiled(
     face_verts: jax.Array,
     image_size: int = 256,
@@ -244,6 +245,7 @@ def rasterize_fim_wim_tiled(
     tile: int = 16,
     cap: int = 512,
     chunk: int = 128,
+    backend: str = "xla",
 ):
     """Tiled/culled rasterizer. Same contract as :func:`rasterize_fim_wim`.
 
@@ -377,6 +379,29 @@ def rasterize_fim_wim_tiled(
     # matrix is recomputed in-kernel (cheap per-(tile,slot) vector math vs
     # gathering 9 more floats per candidate).
     packed = face_verts.reshape(b, nf, 9)  # [x0 y0 z0 x1 y1 z1 x2 y2 z2]
+
+    if backend == "pallas":
+        from impersonator_tpu.ops import pallas_raster
+        cdata = jnp.take_along_axis(
+            packed[:, :, None, :],
+            cand.reshape(b, -1)[:, :, None, None], axis=1,
+        )[:, :, 0, :].reshape(b, n_tiles, cap_pad, 9)
+        cdata_t = cdata.transpose(0, 1, 3, 2)          # (B, T, 9, cap_pad)
+        cand_t = cand[:, :, None, :].astype(jnp.int32)
+        valid_t = cand_valid[:, :, None, :].astype(jnp.int32)
+        fim_t, w0_t, w1_t, w2_t = pallas_raster.zbuffer_tiles(
+            cdata_t, cand_t, valid_t, s, tile, near, far, chunk=chunk,
+            interpret=(jax.default_backend() != "tpu"))
+
+        def untile_b(a):  # (B, n_tiles, tpx, 1) -> (B, S, S)
+            return (a.reshape(b, g, g, tile, tile)
+                     .transpose(0, 1, 3, 2, 4)
+                     .reshape(b, s, s))
+
+        fim = untile_b(fim_t)
+        wim = jnp.stack([untile_b(w0_t), untile_b(w1_t), untile_b(w2_t)],
+                        axis=-1)
+        return fim[:, ::-1, :], wim[:, ::-1, :, :]
 
     def per_sample(args):
         verts9, cand, cand_valid = args

@@ -72,10 +72,12 @@ class SMPLRenderer:
         nf = self.faces.shape[0]
         if s % 8 == 0 and nf > 256:
             # 8px tiles keep worst-case tile occupancy well under cap at
-            # SMPL face densities (measured max ≈150 at 256²)
+            # SMPL face densities (measured max 270 at 256²); the z-buffer
+            # stage runs as a Pallas kernel on TPU (ops/pallas_raster.py)
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
             fim, wim = rast.rasterize_fim_wim_tiled(
                 f2verts, s, self.near, self.far, tile=8,
-                cap=min(288, nf))
+                cap=min(288, nf), backend=backend)
         else:
             fim, wim = rast.rasterize_fim_wim(
                 f2verts, s, self.near, self.far)

@@ -179,3 +179,16 @@ def test_tiled_cap_overflow_degrades_gracefully():
     covered = fim >= 0
     np.testing.assert_allclose(np.asarray(wim)[covered].sum(-1), 1.0,
                                atol=1e-5)
+
+
+def test_pallas_zbuffer_matches_xla():
+    """Pallas kernel (interpret mode on CPU) vs the XLA tiled path."""
+    rng = np.random.default_rng(11)
+    face_verts = _random_faces(rng, b=2, nf=40)
+    args = dict(image_size=32, tile=8, cap=40, chunk=8)
+    fa, wa = rast.rasterize_fim_wim_tiled(jnp.asarray(face_verts),
+                                          backend="xla", **args)
+    fb, wb = rast.rasterize_fim_wim_tiled(jnp.asarray(face_verts),
+                                          backend="pallas", **args)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-5)
