@@ -20,7 +20,7 @@ import numpy as np
 
 from impersonator_tpu.config import TrainConfig, from_args
 from impersonator_tpu.data import DataLoader, dataset_by_name
-from impersonator_tpu.parallel import make_mesh
+from impersonator_tpu.parallel import make_data_mesh, make_mesh
 from impersonator_tpu.parallel.mesh import replicate_tree
 from impersonator_tpu.tasks import trainer as trainer_mod
 from impersonator_tpu.utils import checkpoint as ckpt
@@ -47,7 +47,9 @@ def main(argv=None):
         state = trainer.init_state()
         make_step = trainer_mod.make_train_step
 
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    mesh = (make_data_mesh(cfg.batch_size)
+            if cfg.mesh_shape == (-1,) else
+            make_mesh(cfg.mesh_shape, cfg.mesh_axes))
     state = replicate_tree(state, mesh)
 
     dataset = dataset_by_name(dataset_name, cfg)

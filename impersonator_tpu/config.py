@@ -184,7 +184,9 @@ def to_argparse(config_cls) -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     for f in dataclasses.fields(config_cls):
         if f.type in ("bool", bool):
-            parser.add_argument(f"--{f.name}", action="store_true",
+            # supports both --flag and --no-flag
+            parser.add_argument(f"--{f.name}",
+                                action=argparse.BooleanOptionalAction,
                                 default=f.default)
         elif isinstance(f.default, tuple):
             parser.add_argument(f"--{f.name}", type=str,

@@ -2,6 +2,7 @@
 
 from impersonator_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_data_mesh,
     shard_batch,
     replicate,
     data_sharding,

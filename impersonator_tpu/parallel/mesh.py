@@ -33,6 +33,15 @@ def make_mesh(shape=(-1,), axes=("data",), devices=None) -> Mesh:
     return Mesh(dev_array, axes)
 
 
+def make_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """Data mesh using the most devices that evenly divide the batch."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh((n,), ("data",), devices[:n])
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch/frame) dimension."""
     return NamedSharding(mesh, P(axis))

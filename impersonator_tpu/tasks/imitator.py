@@ -310,12 +310,29 @@ class Imitator:
                 cam_strategy=cam_strategy))
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
-    def inference(self, tgt_imgs224, cam_strategy: str = "smooth", batch: int = 8):
-        """tgt_imgs224: (N, 224, 224, 3) in [-1, 1]; runs HMR per batch then
-        imitates."""
-        thetas = []
-        arr = jnp.asarray(np.asarray(tgt_imgs224, np.float32))
-        for i in range(0, arr.shape[0], batch):
-            thetas.append(self._hmr_jit(arr[i:i + batch]))
-        return self.inference_by_smpls(
-            jnp.concatenate(thetas, axis=0), cam_strategy, batch)
+    def inference(self, tgt_imgs224, cam_strategy: str = "smooth",
+                  batch: int = 8):
+        """tgt_imgs224: (N, 224, 224, 3) in [-1, 1]; HMR + imitation, two
+        device dispatches per batch with no host round trips (numpy
+        inputs are padded host-side; device arrays slice on device)."""
+        assert self.src_info is not None, "call personalize() first"
+        on_device = isinstance(tgt_imgs224, jax.Array)
+        arr = tgt_imgs224 if on_device else np.asarray(tgt_imgs224, np.float32)
+        n = arr.shape[0]
+        pad = (-n) % batch
+        if pad:
+            rep = jnp.repeat if on_device else np.repeat
+            cat = jnp.concatenate if on_device else np.concatenate
+            arr = cat([arr, rep(arr[-1:], pad, axis=0)])
+        outs = []
+        first_cam = None
+        for i in range(0, n + pad, batch):
+            chunk = arr[i:i + batch] if on_device else jnp.asarray(arr[i:i + batch])
+            thetas = self._hmr_jit(chunk)
+            if first_cam is None:
+                first_cam = thetas[0:1, 0:3]
+                self.first_cam = first_cam
+            outs.append(self._imitate_swap_jit(
+                self.src_info, thetas, first_cam, cam_strategy=cam_strategy))
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[:n]

@@ -1,0 +1,73 @@
+"""CLI end-to-end smoke tests: every entry point runs to completion on
+synthetic data at tiny sizes (the reference's 'demo scripts as
+integration tests' strategy, SURVEY §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+S = 32
+
+
+@pytest.fixture()
+def img_files(tmp_path, rng):
+    import cv2
+    src = tmp_path / "src.jpg"
+    tgt_dir = tmp_path / "tgt"
+    tgt_dir.mkdir()
+    for path in [src] + [tgt_dir / f"{i:03d}.jpg" for i in range(2)]:
+        img = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+        cv2.imwrite(str(path), img)
+    return str(src), str(tgt_dir)
+
+
+def _common(tmp_path):
+    return ["--image_size", str(S), "--repeat_num", "1",
+            "--checkpoints_dir", str(tmp_path / "ckpt"),
+            "--output_dir", str(tmp_path / "out"), "--name", "smoke"]
+
+
+def test_run_imitator_cli(img_files, tmp_path):
+    from impersonator_tpu.cli import run_imitator
+    src, tgt = img_files
+    preds = run_imitator.main(
+        ["--src_path", src, "--tgt_path", tgt] + _common(tmp_path))
+    assert preds.shape[0] == 2
+    outs = os.listdir(tmp_path / "out")
+    assert any(o.startswith("pred_") for o in outs)
+
+
+def test_run_view_cli(img_files, tmp_path):
+    from impersonator_tpu.cli import run_view
+    src, _ = img_files
+    preds = run_view.main(["--src_path", src] + _common(tmp_path),
+                          sweep=True, n_views=2)
+    assert preds.shape[0] == 2
+
+
+def test_run_swap_cli(img_files, tmp_path):
+    from impersonator_tpu.cli import run_swap
+    src, tgt_dir = img_files
+    tgt = os.path.join(tgt_dir, "000.jpg")
+    pred = run_swap.main(
+        ["--src_path", src, "--tgt_path", tgt] + _common(tmp_path))
+    assert pred.shape == (S, S, 3)
+
+
+def test_train_cli_synthetic(tmp_path):
+    """Two optimization steps of the full trainer through the CLI path."""
+    from impersonator_tpu.cli import train
+    state = train.main([
+        "--image_size", str(S), "--repeat_num", "1", "--batch_size", "2",
+        "--d_layers", "2", "--nepochs_no_decay", "1", "--nepochs_decay", "0",
+        "--checkpoints_dir", str(tmp_path / "ckpt"), "--name", "smoke",
+        "--n_threads", "1",
+        # heavy loss nets off for CPU speed
+        "--no-use_vgg", "--no-use_face", "--no-use_style",
+    ])
+    assert int(state.step) > 0
+    # per-epoch checkpoint written with the reference naming contract
+    expr = tmp_path / "ckpt" / "smoke"
+    assert any(f.startswith("net_epoch_1_id_G") for f in os.listdir(expr))
