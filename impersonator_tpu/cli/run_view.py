@@ -26,6 +26,13 @@ def main(argv=None, sweep: bool = True, n_views: int = 16):
                                   cfg.image_size)
     viewer.personalize(src)
 
+    if cfg.T_pose:
+        # re-personalize with the canonical T-pose (zeroed articulation,
+        # source cam/shape kept) before sweeping — demo_view.py:55-98
+        theta = np.asarray(viewer.src_info["theta"]).copy()
+        theta[:, 3:75] = 0.0
+        viewer.personalize(src, smpl=theta[0])
+
     if sweep:
         yaws = np.linspace(0, 360, n_views, endpoint=False)
         preds = np.asarray(viewer.view_sweep(list(yaws)))

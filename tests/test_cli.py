@@ -71,3 +71,66 @@ def test_train_cli_synthetic(tmp_path):
     # per-epoch checkpoint written with the reference naming contract
     expr = tmp_path / "ckpt" / "smoke"
     assert any(f.startswith("net_epoch_1_id_G") for f in os.listdir(expr))
+
+
+def _fake_iper_tree(tmp_path, rng, n_videos=1, n_frames=6, size=64):
+    """Fabricate the iPER on-disk layout: images + smpl pkls + protocol."""
+    import cv2
+    import pickle
+    data_dir = tmp_path / "iper"
+    vids = []
+    for v in range(n_videos):
+        vid = f"{v:03d}/1/1"
+        vids.append(vid)
+        img_dir = data_dir / "images_HD" / vid
+        img_dir.mkdir(parents=True)
+        for i in range(n_frames):
+            img = rng.uniform(0, 255, (size, size, 3)).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"{i:08d}.jpg"), img)
+        smpl_dir = data_dir / "smpls" / vid
+        smpl_dir.mkdir(parents=True)
+        with open(smpl_dir / "pose_shape.pkl", "wb") as f:
+            pickle.dump({
+                "cams": np.tile([0.9, 0, 0], (n_frames, 1)).astype(np.float32),
+                "pose": rng.normal(0, 0.03, (n_frames, 72)).astype(np.float32),
+                "shape": np.zeros((n_frames, 10), np.float32),
+            }, f)
+    (data_dir / "train.txt").write_text("\n".join(vids))
+    proto = [{
+        "videoID": vid, "source": {"1": [0]},
+        "self_imitation": {"begin": 1, "end": 4},
+        "cross_imitation": {},
+    } for vid in vids]
+    proto_path = data_dir / "protocol.json"
+    proto_path.write_text(json.dumps(proto))
+    return str(data_dir), str(proto_path)
+
+
+def test_evaluate_cli_on_fake_iper(tmp_path, rng):
+    from impersonator_tpu.cli.evaluate import evaluate_protocol
+    from impersonator_tpu.config import TestConfig
+    data_dir, proto = _fake_iper_tree(tmp_path, rng)
+    cfg = TestConfig(image_size=S, repeat_num=1, data_dir=data_dir,
+                     checkpoints_dir=str(tmp_path / "ckpt"), name="eval")
+    results = evaluate_protocol(cfg, proto, max_frames=3)
+    assert set(results) == {"ssim", "psnr"}
+    assert np.isfinite(results["ssim"]) and np.isfinite(results["psnr"])
+
+
+def test_imper_dataset_on_fake_tree(tmp_path, rng):
+    from impersonator_tpu.data import ImPerDataset
+    data_dir, _ = _fake_iper_tree(tmp_path, rng)
+    ds = ImPerDataset(data_dir, "train.txt", image_size=S)
+    assert len(ds) == 1
+    sample = ds[0]
+    assert sample["images"].shape == (2, S, S, 3)
+    assert sample["smpls"].shape == (2, 85)
+    assert np.abs(sample["images"]).max() <= 1.0
+
+
+def test_run_view_t_pose(img_files, tmp_path):
+    from impersonator_tpu.cli import run_view
+    src, _ = img_files
+    preds = run_view.main(["--src_path", src, "--T_pose"] + _common(tmp_path),
+                          sweep=True, n_views=2)
+    assert preds.shape[0] == 2
