@@ -30,6 +30,23 @@ from impersonator_tpu.ops.sampler import grid_sample
 from impersonator_tpu.tasks import imitator as imitator_mod
 
 
+def load_prior_poses(path: str) -> jax.Array:
+    """Load prior pose thetas from a pickle — the reference's
+    assets/samples/A_priors format (run_imitator.py:69-95): either a
+    plain (N, 85) array or a dict with cams/pose/shape arrays."""
+    import pickle
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    if isinstance(d, dict):
+        arr = np.concatenate([
+            np.asarray(d["cams"], np.float32),
+            np.asarray(d["pose"], np.float32),
+            np.asarray(d["shape"], np.float32)], axis=1)
+    else:
+        arr = np.asarray(d, np.float32)
+    return jnp.asarray(arr.reshape(-1, 85))
+
+
 def default_prior_poses(src_theta: jax.Array, n: int = 8,
                         scale: float = 0.15, seed: int = 0) -> jax.Array:
     """Stand-in for assets/samples/A_priors (run_imitator.py:69-95):

@@ -75,3 +75,28 @@ class Visualizer:
         return {k: {"total_s": v, "count": self._counts[k],
                     "mean_s": v / max(self._counts[k], 1)}
                 for k, v in self._timers.items()}
+
+
+def fim_enc_to_img(fim_enc: np.ndarray, map_name: str) -> np.ndarray:
+    """Conditioning-map -> displayable HWC image (mesh.cvt_fim_enc,
+    utils/mesh.py:476-525). fim_enc: (H, W, C) numpy."""
+    enc = np.asarray(fim_enc)
+    if map_name == "uv":
+        img = np.ones(enc.shape[:2] + (3,), np.float32)
+        img[..., :2] = enc[..., :2]
+    elif map_name in ("seg", "ids"):
+        img = np.repeat(enc[..., :1], 3, axis=-1)
+    elif map_name == "uv_seg":
+        img = enc.copy()
+    elif map_name == "par":
+        lab = enc.argmax(axis=-1).astype(np.float32)
+        lab /= max(lab.max(), 1.0)
+        img = np.repeat(lab[..., None], 3, axis=-1)
+    elif map_name == "binary":
+        weights = 2.0 ** np.arange(enc.shape[-1])[::-1]
+        val = (np.maximum(enc, 0) * weights).sum(-1)
+        val /= max(val.max(), 1.0)
+        img = np.repeat(val[..., None].astype(np.float32), 3, axis=-1)
+    else:
+        raise ValueError(map_name)
+    return img.astype(np.float32)
