@@ -134,3 +134,14 @@ def test_run_view_t_pose(img_files, tmp_path):
     preds = run_view.main(["--src_path", src, "--T_pose"] + _common(tmp_path),
                           sweep=True, n_views=2)
     assert preds.shape[0] == 2
+
+
+@pytest.mark.parametrize("which", ["imitator", "view", "swap"])
+def test_demos_cli(which, tmp_path):
+    from impersonator_tpu.cli import demos
+    demos.main([which, "--frames", "2", "--image_size", str(S),
+                "--repeat_num", "1",
+                "--checkpoints_dir", str(tmp_path / "ckpt"),
+                "--output_dir", str(tmp_path / "out"), "--name", "demo"])
+    outs = os.listdir(tmp_path / "out")
+    assert any(o.endswith(".png") for o in outs)
