@@ -92,6 +92,39 @@ def resize_bilinear_align(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return x
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear_torch(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=False (half-pixel centers), no
+    antialiasing — torch F.interpolate(mode='bilinear') default. Used by
+    the metric preprocessors (his_evaluators metrics.py:666,737: resize to
+    299² before InceptionV3)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+
+    def axis_coords(n_in, n_out):
+        scale = n_in / n_out
+        src = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * scale - 0.5
+        return jnp.clip(src, 0.0, n_in - 1)
+
+    fy = axis_coords(h, out_h)
+    fx = axis_coords(w, out_w)
+
+    def interp_axis(arr, coords, axis):
+        lo = jnp.floor(coords).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, arr.shape[axis] - 1)
+        t = (coords - lo).reshape(
+            [-1 if i == axis else 1 for i in range(arr.ndim)]
+        ).astype(arr.dtype)
+        a = jnp.take(arr, lo, axis=axis)
+        b_ = jnp.take(arr, hi, axis=axis)
+        return a * (1 - t) + b_ * t
+
+    x = interp_axis(x, fy, axis=1)
+    x = interp_axis(x, fx, axis=2)
+    return x
+
+
 def resize_flow(t: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Resize a flow field T (B, H, W, 2) to feature resolution.
 

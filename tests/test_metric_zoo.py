@@ -1,0 +1,84 @@
+"""Converter + architecture parity for the metric model zoo (LPIPS,
+InceptionV3) against functional-torch oracles with the reference key
+naming — proving the converted released checkpoints will reproduce the
+reference metrics without needing the files in this environment."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/repo")
+from tools import convert_weights as cw  # noqa: E402
+from impersonator_tpu.metrics.zoo import (  # noqa: E402
+    AlexFeatures, InceptionV3, LPIPS)
+import torch_ref  # noqa: E402
+
+
+def test_alexnet_converted_weights_match_torch(rng):
+    sd = torch_ref.make_alexnet_sd(rng)
+    tree = cw.convert_alexnet(sd)
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    feats_j = AlexFeatures().apply(tree, jnp.asarray(x))
+    feats_t = torch_ref.alex_forward(
+        sd, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    assert len(feats_j) == 5
+    for fj, ft in zip(feats_j, feats_t):
+        np.testing.assert_allclose(
+            np.asarray(fj), ft.numpy().transpose(0, 2, 3, 1), atol=2e-4)
+
+
+def test_lpips_converted_weights_match_torch(rng):
+    alex_sd = torch_ref.make_alexnet_sd(rng)
+    lin_sd = torch_ref.make_lpips_lin_sd(rng)
+    tree = cw.convert_lpips(lin_sd, alex_sd)
+
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    d_j = LPIPS().apply(tree, jnp.asarray(a), jnp.asarray(b))
+    d_t = torch_ref.lpips_forward(
+        alex_sd, lin_sd,
+        torch.from_numpy(a.transpose(0, 3, 1, 2)),
+        torch.from_numpy(b.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=1e-5)
+    # identity property: lpips(x, x) == 0
+    d0 = LPIPS().apply(tree, jnp.asarray(a), jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(d0), 0.0, atol=1e-6)
+
+
+def test_inception_converted_weights_match_torch(rng):
+    sd = torch_ref.make_inception_sd(rng)
+    tree = cw.convert_inception(sd)
+
+    # 75x75 is the smallest valid inception input; keeps the test fast.
+    x = rng.uniform(-1, 1, (1, 75, 75, 3)).astype(np.float32)
+    pool_j, logits_j = InceptionV3().apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x))
+    pool_t, logits_t = torch_ref.inception_forward(
+        sd, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(pool_j), pool_t.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
+                               atol=5e-3, rtol=1e-3)
+
+
+def test_inception_converter_tree_matches_init(rng):
+    """Converted tree exactly shape-matches a fresh flax init."""
+    sd = torch_ref.make_inception_sd(rng)
+    tree = cw.convert_inception(sd)
+    ref = InceptionV3().init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 75, 75, 3)))
+    ref_flat = jax.tree_util.tree_leaves_with_path(ref)
+    got = {jax.tree_util.keystr(p): v.shape
+           for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+    for path, leaf in ref_flat:
+        key = jax.tree_util.keystr(path)
+        assert key in got, f"converter missing {key}"
+        assert got[key] == leaf.shape, (key, got[key], leaf.shape)
+    assert len(got) == len(ref_flat)

@@ -170,3 +170,240 @@ def bg_forward(sd, x, repeat=2, n_down=3, k_size=3):
                           _convt(sd, f"bg_model.model.{idx}", h)))
         idx += 3
     return torch.tanh(_conv(sd, f"bg_model.model.{idx}", h, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (alex backbone + lin heads) oracle
+# ---------------------------------------------------------------------------
+
+_ALEX_SPEC = [  # (torch features idx, in, out, k, stride, pad)
+    (0, 3, 64, 11, 4, 2),
+    (3, 64, 192, 5, 1, 2),
+    (6, 192, 384, 3, 1, 1),
+    (8, 384, 256, 3, 1, 1),
+    (10, 256, 256, 3, 1, 1),
+]
+
+
+def make_alexnet_sd(rng):
+    """torchvision alexnet.features conv weights (random)."""
+    sd = {}
+    for ti, cin, cout, k, _, _ in _ALEX_SPEC:
+        sd[f"features.{ti}.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.05)
+        sd[f"features.{ti}.bias"] = torch.from_numpy(
+            rng.standard_normal((cout,)).astype(np.float32) * 0.05)
+    return sd
+
+
+def make_lpips_lin_sd(rng):
+    """Official LPIPS alex.pth lin-head naming: lin{i}.model.1.weight."""
+    sd = {}
+    for i, c in enumerate((64, 192, 384, 256, 256)):
+        sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+            np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32) * 0.1)
+    return sd
+
+
+def alex_forward(sd, x):
+    """LPIPS alexnet slices: 5 relu outputs (pretrained_networks.py
+    alexnet, slices [0:2][2:5][5:8][8:10][10:12])."""
+    feats = []
+    for i, (ti, _, _, _, s, p) in enumerate(_ALEX_SPEC):
+        if i in (1, 2):
+            x = F.max_pool2d(x, 3, 2)
+        x = F.relu(_conv(sd, f"features.{ti}", x, stride=s, padding=p))
+        feats.append(x)
+    return feats
+
+
+def lpips_forward(alex_sd, lin_sd, a, b):
+    """PNetLin v0.1 forward (networks_basic.py:122-168), net='alex'."""
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    fa = alex_forward(alex_sd, (a - shift) / scale)
+    fb = alex_forward(alex_sd, (b - shift) / scale)
+    val = 0.0
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        xn = x / (torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True)) + 1e-10)
+        yn = y / (torch.sqrt(torch.sum(y ** 2, dim=1, keepdim=True)) + 1e-10)
+        d = (xn - yn) ** 2
+        w = lin_sd[f"lin{i}.model.1.weight"]
+        val = val + torch.mean(torch.mean(F.conv2d(d, w), dim=3), dim=2)
+    return val.squeeze(1)
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 oracle (torchvision architecture, eval mode)
+# ---------------------------------------------------------------------------
+
+def _inception_convs():
+    """(name, in, out, kernel(h,w), stride, pad(h,w)) for every
+    BasicConv2d of torchvision inception_v3 (no aux head)."""
+    specs = [
+        ("Conv2d_1a_3x3", 3, 32, (3, 3), 2, (0, 0)),
+        ("Conv2d_2a_3x3", 32, 32, (3, 3), 1, (0, 0)),
+        ("Conv2d_2b_3x3", 32, 64, (3, 3), 1, (1, 1)),
+        ("Conv2d_3b_1x1", 64, 80, (1, 1), 1, (0, 0)),
+        ("Conv2d_4a_3x3", 80, 192, (3, 3), 1, (0, 0)),
+    ]
+
+    def a_block(name, cin, pool):
+        return [
+            (f"{name}.branch1x1", cin, 64, (1, 1), 1, (0, 0)),
+            (f"{name}.branch5x5_1", cin, 48, (1, 1), 1, (0, 0)),
+            (f"{name}.branch5x5_2", 48, 64, (5, 5), 1, (2, 2)),
+            (f"{name}.branch3x3dbl_1", cin, 64, (1, 1), 1, (0, 0)),
+            (f"{name}.branch3x3dbl_2", 64, 96, (3, 3), 1, (1, 1)),
+            (f"{name}.branch3x3dbl_3", 96, 96, (3, 3), 1, (1, 1)),
+            (f"{name}.branch_pool", cin, pool, (1, 1), 1, (0, 0)),
+        ]
+
+    def c_block(name, c7):
+        return [
+            (f"{name}.branch1x1", 768, 192, (1, 1), 1, (0, 0)),
+            (f"{name}.branch7x7_1", 768, c7, (1, 1), 1, (0, 0)),
+            (f"{name}.branch7x7_2", c7, c7, (1, 7), 1, (0, 3)),
+            (f"{name}.branch7x7_3", c7, 192, (7, 1), 1, (3, 0)),
+            (f"{name}.branch7x7dbl_1", 768, c7, (1, 1), 1, (0, 0)),
+            (f"{name}.branch7x7dbl_2", c7, c7, (7, 1), 1, (3, 0)),
+            (f"{name}.branch7x7dbl_3", c7, c7, (1, 7), 1, (0, 3)),
+            (f"{name}.branch7x7dbl_4", c7, c7, (7, 1), 1, (3, 0)),
+            (f"{name}.branch7x7dbl_5", c7, 192, (1, 7), 1, (0, 3)),
+            (f"{name}.branch_pool", 768, 192, (1, 1), 1, (0, 0)),
+        ]
+
+    def e_block(name, cin):
+        return [
+            (f"{name}.branch1x1", cin, 320, (1, 1), 1, (0, 0)),
+            (f"{name}.branch3x3_1", cin, 384, (1, 1), 1, (0, 0)),
+            (f"{name}.branch3x3_2a", 384, 384, (1, 3), 1, (0, 1)),
+            (f"{name}.branch3x3_2b", 384, 384, (3, 1), 1, (1, 0)),
+            (f"{name}.branch3x3dbl_1", cin, 448, (1, 1), 1, (0, 0)),
+            (f"{name}.branch3x3dbl_2", 448, 384, (3, 3), 1, (1, 1)),
+            (f"{name}.branch3x3dbl_3a", 384, 384, (1, 3), 1, (0, 1)),
+            (f"{name}.branch3x3dbl_3b", 384, 384, (3, 1), 1, (1, 0)),
+            (f"{name}.branch_pool", cin, 192, (1, 1), 1, (0, 0)),
+        ]
+
+    specs += a_block("Mixed_5b", 192, 32)
+    specs += a_block("Mixed_5c", 256, 64)
+    specs += a_block("Mixed_5d", 288, 64)
+    specs += [
+        ("Mixed_6a.branch3x3", 288, 384, (3, 3), 2, (0, 0)),
+        ("Mixed_6a.branch3x3dbl_1", 288, 64, (1, 1), 1, (0, 0)),
+        ("Mixed_6a.branch3x3dbl_2", 64, 96, (3, 3), 1, (1, 1)),
+        ("Mixed_6a.branch3x3dbl_3", 96, 96, (3, 3), 2, (0, 0)),
+    ]
+    specs += c_block("Mixed_6b", 128)
+    specs += c_block("Mixed_6c", 160)
+    specs += c_block("Mixed_6d", 160)
+    specs += c_block("Mixed_6e", 192)
+    specs += [
+        ("Mixed_7a.branch3x3_1", 768, 192, (1, 1), 1, (0, 0)),
+        ("Mixed_7a.branch3x3_2", 192, 320, (3, 3), 2, (0, 0)),
+        ("Mixed_7a.branch7x7x3_1", 768, 192, (1, 1), 1, (0, 0)),
+        ("Mixed_7a.branch7x7x3_2", 192, 192, (1, 7), 1, (0, 3)),
+        ("Mixed_7a.branch7x7x3_3", 192, 192, (7, 1), 1, (3, 0)),
+        ("Mixed_7a.branch7x7x3_4", 192, 192, (3, 3), 2, (0, 0)),
+    ]
+    specs += e_block("Mixed_7b", 1280)
+    specs += e_block("Mixed_7c", 2048)
+    return specs
+
+
+INCEPTION_CONV_SPECS = {s[0]: s for s in _inception_convs()}
+
+
+def make_inception_sd(rng):
+    """Random torchvision inception_v3 state dict (no AuxLogits)."""
+    sd = {}
+    for name, cin, cout, k, _, _ in _inception_convs():
+        sd[f"{name}.conv.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, k[0], k[1])).astype(np.float32)
+            * 0.05)
+        sd[f"{name}.bn.weight"] = torch.from_numpy(
+            (1.0 + 0.1 * rng.standard_normal(cout)).astype(np.float32))
+        sd[f"{name}.bn.bias"] = torch.from_numpy(
+            (0.1 * rng.standard_normal(cout)).astype(np.float32))
+        sd[f"{name}.bn.running_mean"] = torch.from_numpy(
+            (0.1 * rng.standard_normal(cout)).astype(np.float32))
+        sd[f"{name}.bn.running_var"] = torch.from_numpy(
+            (1.0 + 0.1 * np.abs(rng.standard_normal(cout))).astype(np.float32))
+    sd["fc.weight"] = torch.from_numpy(
+        rng.standard_normal((1000, 2048)).astype(np.float32) * 0.02)
+    sd["fc.bias"] = torch.from_numpy(
+        rng.standard_normal((1000,)).astype(np.float32) * 0.02)
+    return sd
+
+
+def _basic(sd, name, x):
+    _, _, _, k, stride, pad = INCEPTION_CONV_SPECS[name]
+    w = sd[f"{name}.conv.weight"]
+    x = F.conv2d(x, w, None, stride=stride, padding=pad)
+    x = F.batch_norm(x, sd[f"{name}.bn.running_mean"],
+                     sd[f"{name}.bn.running_var"], sd[f"{name}.bn.weight"],
+                     sd[f"{name}.bn.bias"], training=False, eps=1e-3)
+    return F.relu(x)
+
+
+def _incep_a(sd, n, x):
+    b1 = _basic(sd, f"{n}.branch1x1", x)
+    b5 = _basic(sd, f"{n}.branch5x5_2", _basic(sd, f"{n}.branch5x5_1", x))
+    bd = _basic(sd, f"{n}.branch3x3dbl_3", _basic(
+        sd, f"{n}.branch3x3dbl_2", _basic(sd, f"{n}.branch3x3dbl_1", x)))
+    bp = _basic(sd, f"{n}.branch_pool", F.avg_pool2d(x, 3, 1, 1))
+    return torch.cat([b1, b5, bd, bp], 1)
+
+
+def _incep_c(sd, n, x):
+    b1 = _basic(sd, f"{n}.branch1x1", x)
+    b7 = x
+    for i in (1, 2, 3):
+        b7 = _basic(sd, f"{n}.branch7x7_{i}", b7)
+    bd = x
+    for i in (1, 2, 3, 4, 5):
+        bd = _basic(sd, f"{n}.branch7x7dbl_{i}", bd)
+    bp = _basic(sd, f"{n}.branch_pool", F.avg_pool2d(x, 3, 1, 1))
+    return torch.cat([b1, b7, bd, bp], 1)
+
+
+def _incep_e(sd, n, x):
+    b1 = _basic(sd, f"{n}.branch1x1", x)
+    b3 = _basic(sd, f"{n}.branch3x3_1", x)
+    b3 = torch.cat([_basic(sd, f"{n}.branch3x3_2a", b3),
+                    _basic(sd, f"{n}.branch3x3_2b", b3)], 1)
+    bd = _basic(sd, f"{n}.branch3x3dbl_2",
+                _basic(sd, f"{n}.branch3x3dbl_1", x))
+    bd = torch.cat([_basic(sd, f"{n}.branch3x3dbl_3a", bd),
+                    _basic(sd, f"{n}.branch3x3dbl_3b", bd)], 1)
+    bp = _basic(sd, f"{n}.branch_pool", F.avg_pool2d(x, 3, 1, 1))
+    return torch.cat([b1, b3, bd, bp], 1)
+
+
+def inception_forward(sd, x):
+    """Eval inception_v3: returns (pool3 (B,2048), logits (B,1000))."""
+    for n in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3"):
+        x = _basic(sd, n, x)
+    x = F.max_pool2d(x, 3, 2)
+    x = _basic(sd, "Conv2d_4a_3x3", _basic(sd, "Conv2d_3b_1x1", x))
+    x = F.max_pool2d(x, 3, 2)
+    for n in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        x = _incep_a(sd, n, x)
+    b3 = _basic(sd, "Mixed_6a.branch3x3", x)
+    bd = _basic(sd, "Mixed_6a.branch3x3dbl_3", _basic(
+        sd, "Mixed_6a.branch3x3dbl_2", _basic(sd, "Mixed_6a.branch3x3dbl_1", x)))
+    x = torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+    for n in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        x = _incep_c(sd, n, x)
+    b3 = _basic(sd, "Mixed_7a.branch3x3_2",
+                _basic(sd, "Mixed_7a.branch3x3_1", x))
+    b7 = x
+    for i in (1, 2, 3, 4):
+        b7 = _basic(sd, f"Mixed_7a.branch7x7x3_{i}", b7)
+    x = torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+    x = _incep_e(sd, "Mixed_7b", x)
+    x = _incep_e(sd, "Mixed_7c", x)
+    pool = F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+    logits = F.linear(pool, sd["fc.weight"], sd["fc.bias"])
+    return pool, logits

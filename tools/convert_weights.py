@@ -286,12 +286,73 @@ def convert_sphere(sd) -> dict:
     return {"params": params}
 
 
+# --------------------------------------------------------------------------
+# Metric zoo: LPIPS (alexnet + lin heads) and InceptionV3
+# --------------------------------------------------------------------------
+
+_ALEX_FEATURE_IDS = [0, 3, 6, 8, 10]
+
+
+def convert_alexnet(sd) -> dict:
+    """torchvision alexnet state_dict -> metrics.zoo.AlexFeatures params
+    (the 5 feature convs used by the LPIPS slices)."""
+    params = {}
+    for i, ti in enumerate(_ALEX_FEATURE_IDS):
+        _set(params, f"conv{i}/conv/kernel", conv_w(sd[f"features.{ti}.weight"]))
+        _set(params, f"conv{i}/conv/bias", _np(sd[f"features.{ti}.bias"]))
+    return {"params": params}
+
+
+def convert_lpips(lin_sd, alex_sd=None) -> dict:
+    """Official LPIPS v0.1 alex.pth (lin{i}.model.1.weight) + torchvision
+    alexnet -> metrics.zoo.LPIPS params. The lin heads are (1,C,1,1) 1x1
+    convs without bias (networks_basic.py:205-212) -> flattened (C,)."""
+    lin_sd = _strip_module(lin_sd)
+    params = {}
+    for i in range(5):
+        _set(params, f"lin{i}",
+             _np(lin_sd[f"lin{i}.model.1.weight"]).reshape(-1))
+    if alex_sd is not None:
+        params["alex"] = convert_alexnet(alex_sd)["params"]
+    return {"params": params}
+
+
+def convert_inception(sd) -> dict:
+    """torchvision inception_v3 state_dict -> metrics.zoo.InceptionV3
+    {'params','batch_stats'} (AuxLogits skipped)."""
+    params, stats = {}, {}
+    for key, val in sd.items():
+        if key.startswith("AuxLogits"):
+            continue
+        path = key.replace(".", "/")
+        if key.endswith(".conv.weight"):
+            _set(params, path[: -len("/weight")] + "/kernel", conv_w(val))
+        elif key.endswith(".bn.weight"):
+            _set(params, path[: -len("/weight")] + "/scale", _np(val))
+        elif key.endswith(".bn.bias"):
+            _set(params, path, _np(val))
+        elif key.endswith(".bn.running_mean"):
+            _set(stats, path[: -len("/running_mean")] + "/mean", _np(val))
+        elif key.endswith(".bn.running_var"):
+            _set(stats, path[: -len("/running_var")] + "/var", _np(val))
+        elif key == "fc.weight":
+            _set(params, "fc/kernel", dense_w(val))
+        elif key == "fc.bias":
+            _set(params, "fc/bias", _np(val))
+        elif key.endswith("num_batches_tracked"):
+            continue
+    return {"params": params, "batch_stats": stats}
+
+
 CONVERTERS = {
     "hmr": convert_hmr,
     "gen": convert_generator,
     "bgnet": convert_bgnet,
     "vgg19": convert_vgg19,
     "sphere": convert_sphere,
+    "alexnet": convert_alexnet,
+    "lpips": convert_lpips,
+    "inception": convert_inception,
 }
 
 
@@ -300,15 +361,23 @@ def main():
     ap.add_argument("kind", choices=sorted(CONVERTERS))
     ap.add_argument("src")
     ap.add_argument("dst")
+    ap.add_argument("--src2", default=None,
+                    help="lpips only: torchvision alexnet .pth to embed "
+                         "as the backbone")
     args = ap.parse_args()
 
     import torch
     from flax import serialization
 
-    sd = torch.load(args.src, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    tree = CONVERTERS[args.kind](sd)
+    def load(p):
+        sd = torch.load(p, map_location="cpu")
+        return sd.state_dict() if hasattr(sd, "state_dict") else sd
+
+    sd = load(args.src)
+    if args.kind == "lpips" and args.src2:
+        tree = convert_lpips(sd, load(args.src2))
+    else:
+        tree = CONVERTERS[args.kind](sd)
     with open(args.dst, "wb") as f:
         f.write(serialization.to_bytes(tree))
     print(f"converted {args.kind}: {args.src} -> {args.dst}")
