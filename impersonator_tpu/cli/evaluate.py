@@ -1,66 +1,210 @@
-"""Evaluation CLI.
+"""Evaluation CLI — the full iPER protocol runner.
 
-Mirrors the reference ``evaluate.py:15-138`` + the his_evaluators
-motion-imitation runner (evaluators/motion_imitation.py:202-255): for
-each protocol video, personalize on the source frame(s), imitate the
-self-imitation range, and score predictions against ground truth with
-the paired metric suite. The reference isolates inference in a child
-process to bound GPU memory; with jitted JAX fns there is nothing to
-isolate — one process streams batches.
+Mirrors the reference ``evaluate.py:15-138`` + his_evaluators
+(``evaluators/motion_imitation.py:102-255``): per protocol video,
+personalize on the source frame (num_sources selectable from the
+protocol's multi-view ``s_n`` table), run
+
+* **self-imitation** — imitate the video's own frame range with
+  ``cam_strategy='copy'`` (evaluate.py:53-56), score predictions against
+  ground-truth frames with the PAIRED suite (ssim/psnr/lps);
+* **cross-imitation** — imitate another subject's clip with
+  ``cam_strategy='smooth'``, score predictions against the source
+  subject's real ``flag`` frames with the UNPAIRED suite
+  (is/fid/OS-CS-reid/face-CS/face-FD given extractors).
+
+The reference isolates inference in a child process to bound GPU memory;
+with jitted JAX fns one process streams batches. Predictions are written
+to ``{output_dir}/{self,cross}_imitation/pred_%08d.jpg`` (the reference's
+file layout) and results to ``results.txt`` in its ``save_results``
+format plus ``results.json``.
+
+No silent truncation: ``--max_frames`` defaults to 0 (= everything); when
+set, every capped range logs how many frames were dropped.
 
     python -m impersonator_tpu.cli.evaluate --data_dir /data/iPER \
-        --protocol_file iPER_protocol.json
+        --protocol_file iPER_protocol.json --lpips_path lpips.msgpack
 """
 
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 
 import numpy as np
 
 from impersonator_tpu.config import TestConfig, from_args
-from impersonator_tpu.metrics import PairedMetricRunner
+from impersonator_tpu.metrics import PairedMetricRunner, UnpairedMetricRunner
 from impersonator_tpu.metrics.protocols import build_protocol
 from impersonator_tpu.tasks.imitator import Imitator
 from impersonator_tpu.utils import cv_utils
 
+TYPES_QUALITIES = {
+    "ssim": "higher", "psnr": "higher", "lps": "lower",
+    "is": "higher", "fid": "lower", "OS-CS-reid": "higher",
+    "OS-freid": "lower", "face-CS": "higher", "face-FD": "lower",
+    "fd": "lower", "cs": "higher",
+}
+
+
+def _load_msgpack(path):
+    from flax import serialization
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def build_extractors(lpips_path=None, inception_path=None, sphere_path=None):
+    """Instantiate metric extractors from converted weight files; absent
+    files skip their metrics (logged)."""
+    lpips_apply = inception_fn = face_fn = None
+    if lpips_path and os.path.exists(lpips_path):
+        from impersonator_tpu.metrics.zoo import LPIPS
+        import jax
+        tree = _load_msgpack(lpips_path)
+        model = LPIPS()
+        lpips_apply = jax.jit(lambda a, b: model.apply(tree, a, b))
+    elif lpips_path:
+        print(f"evaluate: lpips weights not found at {lpips_path}; "
+              "'lps' will be skipped")
+    if inception_path and os.path.exists(inception_path):
+        from impersonator_tpu.metrics.unpaired import inception_embed_fn
+        inception_fn = inception_embed_fn(_load_msgpack(inception_path))
+    elif inception_path:
+        print(f"evaluate: inception weights not found at {inception_path}; "
+              "is/fid will be skipped")
+    if sphere_path and os.path.exists(sphere_path):
+        from impersonator_tpu.metrics.unpaired import sphere_face_embed_fn
+        face_fn = sphere_face_embed_fn(_load_msgpack(sphere_path))
+    elif sphere_path:
+        print(f"evaluate: sphereface weights not found at {sphere_path}; "
+              "face-CS/face-FD will be skipped")
+    return lpips_apply, inception_fn, face_fn
+
+
+def _read_batch(paths, size):
+    return np.stack([
+        cv_utils.resize_img_hwc(cv_utils.read_img(p), size) for p in paths])
+
+
+def _cap(paths, max_frames, what, vid):
+    if max_frames and len(paths) > max_frames:
+        print(f"evaluate: {vid} {what}: capping {len(paths)} -> "
+              f"{max_frames} frames ({len(paths) - max_frames} dropped)")
+        return paths[:max_frames]
+    return paths
+
+
+def _imitate_clip(imitator, cfg, paths, smpls, cam_strategy, out_dir, count):
+    """Run one clip; write pred_%08d.jpg files; return preds array."""
+    if smpls is not None:
+        preds = imitator.inference_by_smpls(smpls, cam_strategy=cam_strategy)
+    else:
+        t224 = _read_batch(paths, 224)
+        preds = imitator.inference(t224, cam_strategy=cam_strategy)
+    preds = np.asarray(preds)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        for i, p in enumerate(preds):
+            cv_utils.save_img(
+                p, os.path.join(out_dir, f"pred_{count + i:08d}.jpg"))
+    return preds
+
 
 def evaluate_protocol(cfg: TestConfig, protocol_file: str,
                       max_videos: int | None = None,
-                      max_frames: int = 64) -> dict:
-    protocol = build_protocol("iPER", cfg.data_dir, protocol_file)
+                      max_frames: int = 0,
+                      num_sources: int = 1,
+                      cross_imitation: bool = True,
+                      lpips_apply=None, inception_fn=None, face_fn=None,
+                      save_preds: bool = False,
+                      prior_poses_path: str | None = None) -> dict:
+    protocol = build_protocol("iPER", cfg.data_dir, protocol_file,
+                              images_folder=cfg.images_folder,
+                              smpls_folder=cfg.smpls_folder)
+    protocol.setup(num_sources=num_sources, load_smpls=True)
     imitator = Imitator(cfg)
-    runner = PairedMetricRunner(metric_types=("ssim", "psnr"))
+
+    pair_types = ["ssim", "psnr"] + (["lps"] if lpips_apply else [])
+    paired = PairedMetricRunner(metric_types=pair_types,
+                                lpips_apply=lpips_apply)
+    unpaired = UnpairedMetricRunner(inception_fn=inception_fn,
+                                    face_fn=face_fn)
+    per_video = {}
+    si_count = ci_count = 0
+    si_dir = (os.path.join(cfg.output_dir, "self_imitation")
+              if save_preds else None)
+    ci_dir = (os.path.join(cfg.output_dir, "cross_imitation")
+              if save_preds else None)
 
     n = len(protocol) if max_videos is None else min(max_videos, len(protocol))
-    for vid in protocol.videos[:n]:
-        frames_dir = protocol.frames_dir(vid.video_id, cfg.images_folder)
-        frames = sorted(glob.glob(os.path.join(frames_dir, "*")))
-        if not frames:
+    for idx in range(n):
+        unit = protocol[idx]
+        if not unit.src_paths or not unit.si_paths:
+            print(f"evaluate: {unit.video_id}: missing frames, skipped")
             continue
-        src_frame = frames[0]
+
+        # --- personalization on source frame 0 (evaluate.py:103-113) ---
         src_img = cv_utils.resize_img_hwc(
-            cv_utils.read_img(src_frame), cfg.image_size)
-        imitator.personalize(src_img)
+            cv_utils.read_img(unit.src_paths[0]), cfg.image_size)
+        src_smpl = (unit.src_smpls[0] if unit.src_smpls is not None else None)
+        imitator.personalize(src_img, src_smpl=src_smpl)
         if cfg.post_tune:
             from impersonator_tpu.tasks.post_tune import adaptive_personalize
-            adaptive_personalize(imitator)
+            adaptive_personalize(imitator, prior_poses_path=prior_poses_path)
 
-        begin, end = vid.self_range
-        tgt_paths = frames[begin:min(end, begin + max_frames)]
-        tgt224 = np.stack([
-            cv_utils.resize_img_hwc(cv_utils.read_img(p), 224)
-            for p in tgt_paths])
-        preds = np.asarray(imitator.inference(tgt224,
-                                              cam_strategy="smooth"))
-        refs = np.stack([
-            cv_utils.resize_img_hwc(cv_utils.read_img(p), cfg.image_size)
-            for p in tgt_paths])
-        runner.update(preds, refs)
-    return runner.evaluate()
+        # --- self-imitation: cam 'copy', paired metrics -----------------
+        si_paths = _cap(unit.si_paths, max_frames, "self-imitation",
+                        unit.video_id)
+        si_smpls = (unit.si_smpls[:len(si_paths)]
+                    if unit.si_smpls is not None else None)
+        preds = _imitate_clip(imitator, cfg, si_paths, si_smpls,
+                              "copy", si_dir, si_count)
+        si_count += len(preds)
+        refs = _read_batch(si_paths, cfg.image_size)
+        vid_runner = PairedMetricRunner(metric_types=pair_types,
+                                        lpips_apply=lpips_apply)
+        vid_runner.update(preds, refs)
+        paired.update(preds, refs)
+        per_video[unit.video_id] = vid_runner.evaluate()
+
+        # --- cross-imitation: cam 'smooth', unpaired metrics ------------
+        if cross_imitation and unit.ci_paths:
+            ci_paths = _cap(unit.ci_paths, max_frames, "cross-imitation",
+                            unit.video_id)
+            ci_smpls = (unit.ci_smpls[:len(ci_paths)]
+                        if unit.ci_smpls is not None else None)
+            ci_preds = _imitate_clip(imitator, cfg, ci_paths, ci_smpls,
+                                     "smooth", ci_dir, ci_count)
+            ci_count += len(ci_preds)
+            flag_paths = _cap(unit.flag_paths or unit.si_paths, max_frames,
+                              "flag refs", unit.video_id)
+            flags = _read_batch(flag_paths, cfg.image_size)
+            m = min(len(ci_preds), len(flags))
+            unpaired.update(ci_preds[:m], flags[:m])
+
+    si_results = paired.evaluate()
+    ci_results = unpaired.evaluate()
+    return {"self_imitation": si_results, "cross_imitation": ci_results,
+            "per_video": per_video,
+            "num_si_frames": si_count, "num_ci_frames": ci_count}
+
+
+def save_results(out_path: str, results: dict) -> None:
+    """Reference save_results format (motion_imitation.py:258-280)."""
+    with open(out_path, "w") as w:
+        w.write("#" * 24 + "Self-imitation Results" + "#" * 24 + "\n")
+        for key, val in results["self_imitation"].items():
+            w.write(f"{key} = {val}, quality = "
+                    f"{TYPES_QUALITIES.get(key, '?')}\n")
+        w.write("#" * 24 + "Cross-imitation Results" + "#" * 24 + "\n")
+        for key, val in results["cross_imitation"].items():
+            w.write(f"{key} = {val}, quality = "
+                    f"{TYPES_QUALITIES.get(key, '?')}\n")
+        w.write("#" * 24 + "Per-video (self-imitation)" + "#" * 24 + "\n")
+        for vid, res in results["per_video"].items():
+            w.write(f"{vid}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in res.items()) + "\n")
 
 
 def main(argv=None):
@@ -68,10 +212,32 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--protocol_file", default="iPER_protocol.json")
     parser.add_argument("--max_videos", type=int, default=None)
+    parser.add_argument("--max_frames", type=int, default=0,
+                        help="0 = no cap; otherwise capped WITH a log line")
+    parser.add_argument("--num_sources", type=int, default=1)
+    parser.add_argument("--no-cross_imitation", dest="cross_imitation",
+                        action="store_false")
+    parser.add_argument("--save_preds", action="store_true")
+    parser.add_argument("--lpips_path", default=None)
+    parser.add_argument("--inception_path", default=None)
+    parser.add_argument("--sphere_path", default=None)
+    parser.add_argument("--prior_poses", default=None)
     extra, _ = parser.parse_known_args(argv)
 
-    results = evaluate_protocol(cfg, extra.protocol_file, extra.max_videos)
-    print(json.dumps(results))
+    lpips_apply, inception_fn, face_fn = build_extractors(
+        extra.lpips_path, extra.inception_path, extra.sphere_path)
+    results = evaluate_protocol(
+        cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
+        extra.num_sources, extra.cross_imitation,
+        lpips_apply, inception_fn, face_fn, extra.save_preds,
+        prior_poses_path=extra.prior_poses)
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    save_results(os.path.join(cfg.output_dir, "results.txt"), results)
+    with open(os.path.join(cfg.output_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({k: results[k] for k in
+                      ("self_imitation", "cross_imitation")}))
     return results
 
 

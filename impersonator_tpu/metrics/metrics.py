@@ -91,32 +91,49 @@ def perceptual_distance(vgg, vgg_params, a, b,
 
 
 class PairedMetricRunner:
-    """Frame-paired evaluation (his_evaluators base.py:57-341 subset):
-    accumulates ssim/psnr/lps over (pred, ref) batches."""
+    """Frame-paired evaluation (his_evaluators base.py:57-96):
+    accumulates ssim/psnr/lps over (pred, ref) batches.
 
-    def __init__(self, metric_types=("ssim", "psnr"), vgg=None, vgg_params=None):
+    Accumulation is FRAME-weighted (Σ batch_mean·batch_size / Σ size), not
+    batch-weighted — videos of different lengths would otherwise skew the
+    mean (the reference averages equal fixed-size loader batches, so its
+    np.mean over batches is also frame-weighted up to the last partial
+    batch).
+
+    ``lps`` needs an LPIPS apply fn — pass ``lpips_apply(a, b) -> (B,)``
+    built from converted weights (metrics.zoo.LPIPS), or fall back to
+    ``vgg``+``vgg_params`` for the unweighted VGG distance (a consistent
+    relative metric, NOT reference LPIPS)."""
+
+    def __init__(self, metric_types=("ssim", "psnr"), vgg=None,
+                 vgg_params=None, lpips_apply=None):
         self.metric_types = list(metric_types)
         self.vgg = vgg
         self.vgg_params = vgg_params
+        self.lpips_apply = lpips_apply
         self._sums = {m: 0.0 for m in self.metric_types}
-        self._count = 0
+        self._frames = 0
 
     def update(self, preds, refs):
         preds = jnp.asarray(preds)
         refs = jnp.asarray(refs)
+        n = preds.shape[0]
         for m in self.metric_types:
             if m == "ssim":
                 v = float(ssim(preds, refs))
             elif m == "psnr":
                 v = float(psnr(preds, refs))
             elif m == "lps":
-                v = float(perceptual_distance(self.vgg, self.vgg_params,
-                                              preds, refs))
+                if self.lpips_apply is not None:
+                    v = float(jnp.mean(self.lpips_apply(preds, refs)))
+                else:
+                    v = float(perceptual_distance(self.vgg, self.vgg_params,
+                                                  preds, refs))
             else:
                 raise ValueError(m)
-            self._sums[m] += v
-        self._count += 1
+            self._sums[m] += v * n
+        self._frames += n
 
     def evaluate(self) -> dict:
-        return {m: self._sums[m] / max(self._count, 1)
+        return {m: self._sums[m] / max(self._frames, 1)
                 for m in self.metric_types}

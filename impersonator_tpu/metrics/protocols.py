@@ -1,58 +1,169 @@
 """Evaluation protocols.
 
 JSON-driven eval splits mirroring the his_evaluators protocol layer
-(``thirdparty/his_evaluators/protocols/iPER.py:10-400``): for each video,
-a set of source frames (multi-view), a self-imitation frame range and a
-cross-imitation target. The protocol file format is the reference's
-``iPER_protocol.json``:
+(``thirdparty/his_evaluators/protocols/iPER.py:10-400``). The canonical
+``iPER_protocol.json`` schema (shipped with the reference at
+``thirdparty/his_evaluators/data/iPER_protocol.json``) is::
 
-    [{"videoID": "001/1/1", "source": {"1": [frame...], ...},
-      "self_imitation": {"begin": i, "end": j},
-      "cross_imitation": {"videoID": ..., "begin": i, "end": j}}, ...]
+    {"val": {"001/9/1": {
+        "source": [frame names at 8 view angles],
+        "view angle": [0, 45, ...],
+        "s_n": {"1": ["000.jpg"], "2": [...], ...},   # multi-view sources
+        "self_imitation":  {"target": "001/9/1", "range": [b, e]},
+        "cross_imitation": {"target": "007/1/2", "range": [b, e]},
+        "flag": [b, e]}}}                             # real ref frames for
+                                                      # the unpaired suite
+
+A legacy list form (``[{"videoID": ..., "source": {...},
+"self_imitation": {"begin","end"}, ...}]``) is also accepted so small
+fabricated fixtures stay terse. Frame index resolution (sorted glob per
+video directory, end-inclusive ranges) matches iPER.py:66-79.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
-from dataclasses import dataclass
+import pickle
+from dataclasses import dataclass, field
 from typing import List, Optional
+
+import numpy as np
 
 
 @dataclass
-class VideoProtocol:
+class EvalUnit:
+    """One protocol video, with every path resolved (iPER.py:86-195)."""
+
     video_id: str
-    source_frames: dict           # view angle -> [frame indices/names]
-    self_range: tuple             # (begin, end)
-    cross_video: Optional[str]
-    cross_range: Optional[tuple]
+    src_paths: List[str]                  # num_sources source frames
+    si_paths: List[str]                   # self-imitation gt frames
+    ci_video: Optional[str]               # cross-imitation target video
+    ci_paths: List[str] = field(default_factory=list)   # drive frames
+    flag_paths: List[str] = field(default_factory=list)  # real refs (unpaired)
+    src_smpls: Optional[np.ndarray] = None      # (n_src, 85)
+    si_smpls: Optional[np.ndarray] = None       # (n_si, 85)
+    ci_smpls: Optional[np.ndarray] = None       # (n_ci, 85)
 
 
 class Protocol:
-    """Base protocol: iterate (source image, target clip) eval units."""
+    """Iterate per-video :class:`EvalUnit`\\ s from a protocol JSON."""
 
-    def __init__(self, data_dir: str, protocol_file: str):
+    def __init__(self, data_dir: str, protocol_file: str,
+                 images_folder: str = "images_HD",
+                 smpls_folder: str = "smpls"):
         self.data_dir = data_dir
+        self.images_folder = images_folder
+        self.smpls_folder = smpls_folder
+        self._num_sources = 1
+        self._load_smpls = False
+        self._smpl_cache = {}
+
         with open(protocol_file) as f:
             raw = json.load(f)
-        self.videos: List[VideoProtocol] = []
-        for item in raw:
-            cross = item.get("cross_imitation") or {}
-            self.videos.append(VideoProtocol(
-                video_id=item["videoID"],
-                source_frames=item.get("source", {}),
-                self_range=(item["self_imitation"]["begin"],
-                            item["self_imitation"]["end"]),
-                cross_video=cross.get("videoID"),
-                cross_range=((cross["begin"], cross["end"])
-                             if cross else None),
-            ))
+        if isinstance(raw, dict):
+            self._items = list(raw.get("val", raw).items())
+            self._legacy = False
+        else:
+            self._items = [(it["videoID"], it) for it in raw]
+            self._legacy = True
+
+    def setup(self, num_sources: int = 1, load_smpls: bool = False):
+        """iPER.py:81-84: choose the multi-view source count and whether
+        to read smpl pkls (pose_shape.pkl per video)."""
+        self._num_sources = num_sources
+        self._load_smpls = load_smpls
 
     def __len__(self):
-        return len(self.videos)
+        return len(self._items)
 
-    def frames_dir(self, video_id: str, images_folder: str = "images_HD"):
-        return os.path.join(self.data_dir, images_folder, video_id)
+    def frames_dir(self, video_id: str, images_folder: str | None = None):
+        return os.path.join(self.data_dir,
+                            images_folder or self.images_folder, video_id)
+
+    def frames(self, video_id: str) -> List[str]:
+        out = sorted(glob.glob(os.path.join(self.frames_dir(video_id), "*")))
+        return out
+
+    def smpls(self, video_id: str) -> Optional[np.ndarray]:
+        """(N, 85) thetas from pose_shape.pkl, or None if absent."""
+        if video_id not in self._smpl_cache:
+            pkl = os.path.join(self.data_dir, self.smpls_folder, video_id,
+                               "pose_shape.pkl")
+            if not os.path.exists(pkl):
+                self._smpl_cache[video_id] = None
+            else:
+                with open(pkl, "rb") as f:
+                    d = pickle.load(f)
+                self._smpl_cache[video_id] = np.concatenate(
+                    [np.asarray(d["cams"], np.float32),
+                     np.asarray(d["pose"], np.float32),
+                     np.asarray(d["shape"], np.float32)], axis=1)
+        return self._smpl_cache[video_id]
+
+    def _take(self, video_id, begin, end):
+        """End-inclusive frame slice (iPER.py take_images_paths)."""
+        return self.frames(video_id)[begin:end + 1]
+
+    def __getitem__(self, idx) -> EvalUnit:
+        vid, info = self._items[idx]
+        frames = self.frames(vid)
+
+        if self._legacy:
+            src_sel = info.get("source", {}).get("1", [0])
+            src_paths = [frames[int(str(s).split(".")[0])] for s in src_sel]
+            b, e = (info["self_imitation"]["begin"],
+                    info["self_imitation"]["end"])
+            si_paths = frames[b:e]          # legacy fixtures: end-exclusive
+            si_idx = list(range(b, e))
+            cross = info.get("cross_imitation") or {}
+            ci_video = cross.get("videoID")
+            ci_range = ((cross["begin"], cross["end"]) if ci_video else None)
+            flag_range = ci_range
+        else:
+            s_n = info["s_n"]
+            key = str(self._num_sources)
+            if key not in s_n:
+                key = min(s_n, key=lambda k: abs(int(k) - self._num_sources))
+            src_ids = [int(t.split(".")[0]) for t in s_n[key]]
+            src_paths = [frames[i] for i in src_ids]
+            b, e = info["self_imitation"]["range"]
+            si_paths = frames[b:e + 1]
+            si_idx = list(range(b, min(e + 1, len(frames))))
+            ci = info.get("cross_imitation") or {}
+            ci_video = ci.get("target")
+            ci_range = tuple(ci["range"]) if ci_video else None
+            flag_range = tuple(info["flag"]) if info.get("flag") else ci_range
+
+        unit = EvalUnit(
+            video_id=vid, src_paths=src_paths, si_paths=si_paths,
+            ci_video=ci_video,
+            ci_paths=(self._take(ci_video, *ci_range) if ci_video else []),
+            flag_paths=(self._take(vid, *flag_range)
+                        if (ci_video and flag_range) else []),
+        )
+        if self._load_smpls:
+            own = self.smpls(vid)
+            if own is not None:
+                if not self._legacy:
+                    src_ids = [int(os.path.basename(p).split(".")[0])
+                               if os.path.basename(p).split(".")[0].isdigit()
+                               else frames.index(p) for p in src_paths]
+                else:
+                    src_ids = [frames.index(p) for p in src_paths]
+                unit.src_smpls = own[src_ids]
+                unit.si_smpls = own[si_idx]
+            if ci_video:
+                tgt = self.smpls(ci_video)
+                if tgt is not None:
+                    unit.ci_smpls = tgt[ci_range[0]:ci_range[1] + 1]
+        return unit
+
+    @property
+    def videos(self):
+        """All eval units (resolved lazily per access)."""
+        return [self[i] for i in range(len(self))]
 
 
 class IPERProtocol(Protocol):
@@ -62,7 +173,8 @@ class IPERProtocol(Protocol):
 PROTOCOLS = {"iPER": IPERProtocol}
 
 
-def build_protocol(name: str, data_dir: str, protocol_file: str) -> Protocol:
+def build_protocol(name: str, data_dir: str, protocol_file: str,
+                   **kwargs) -> Protocol:
     if name not in PROTOCOLS:
         raise ValueError(f"unknown protocol {name}")
-    return PROTOCOLS[name](data_dir, protocol_file)
+    return PROTOCOLS[name](data_dir, protocol_file, **kwargs)

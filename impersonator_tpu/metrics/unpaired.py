@@ -56,36 +56,88 @@ def inception_score(probs: np.ndarray, splits: int = 10) -> float:
     return float(np.mean(scores))
 
 
-class UnpairedMetricRunner:
-    """Accumulate embedding features for pred/ref sets, then score
-    (his_evaluators base.py UnpairedMetricRunner contract)."""
+def _cosine(pred: np.ndarray, ref: np.ndarray) -> float:
+    pn = pred / np.maximum(np.linalg.norm(pred, axis=1, keepdims=True), 1e-9)
+    rn = ref / np.maximum(np.linalg.norm(ref, axis=1, keepdims=True), 1e-9)
+    return float((pn * rn).sum(axis=1).mean())
 
-    def __init__(self, embed_fn: Callable):
-        """embed_fn: (N, H, W, 3) [-1,1] -> (N, D) embeddings."""
-        self.embed_fn = embed_fn
-        self._pred = []
-        self._ref = []
+
+class UnpairedMetricRunner:
+    """Unpaired suite with pluggable extractors, matching the reference's
+    per-type result keys (his_evaluators base.py:99-341):
+
+    * ``inception_fn(imgs) -> (pool (N,2048), probs (N,C))`` drives
+      ``fid`` (Fréchet on pool feats) and ``is`` (split-KL on probs);
+    * ``reid_fn(imgs) -> (N,D)`` drives ``OS-freid`` (Fréchet) and
+      ``OS-CS-reid`` (matched cosine);
+    * ``face_fn(imgs) -> (N,D)`` drives ``face-FD`` and ``face-CS``.
+
+    Extractors left None simply skip their metrics (the reference
+    instead requires the vendored weights at import time). All image
+    batches are (N, H, W, 3) in [-1, 1]; extractor-internal resizing
+    (e.g. 299² for inception) is the extractor's job.
+    """
+
+    def __init__(self, inception_fn: Callable | None = None,
+                 reid_fn: Callable | None = None,
+                 face_fn: Callable | None = None,
+                 embed_fn: Callable | None = None):
+        self.inception_fn = inception_fn
+        self.reid_fn = reid_fn
+        self.face_fn = face_fn
+        self.embed_fn = embed_fn   # generic fallback -> {"fd","cs"}
+        self._acc = {k: {"pred": [], "ref": []}
+                     for k in ("inc", "reid", "face", "embed")}
+        self._probs = []
 
     def update(self, preds, refs=None):
-        self._pred.append(np.asarray(self.embed_fn(jnp.asarray(preds))))
-        if refs is not None:
-            self._ref.append(np.asarray(self.embed_fn(jnp.asarray(refs))))
+        preds = jnp.asarray(preds)
+        refs = jnp.asarray(refs) if refs is not None else None
+
+        def both(key, fn):
+            self._acc[key]["pred"].append(np.asarray(fn(preds)))
+            if refs is not None:
+                self._acc[key]["ref"].append(np.asarray(fn(refs)))
+
+        if self.inception_fn is not None:
+            pool, probs = self.inception_fn(preds)
+            self._acc["inc"]["pred"].append(np.asarray(pool))
+            self._probs.append(np.asarray(probs))
+            if refs is not None:
+                pool_r, _ = self.inception_fn(refs)
+                self._acc["inc"]["ref"].append(np.asarray(pool_r))
+        if self.reid_fn is not None:
+            both("reid", self.reid_fn)
+        if self.face_fn is not None:
+            both("face", self.face_fn)
+        if self.embed_fn is not None:
+            both("embed", self.embed_fn)
+
+    @staticmethod
+    def _fd(pred, ref):
+        mu1, s1 = gaussian_stats(pred)
+        mu2, s2 = gaussian_stats(ref)
+        return frechet_distance(mu1, s1, mu2, s2)
 
     def evaluate(self) -> dict:
-        pred = np.concatenate(self._pred)
         out = {}
-        if self._ref:
-            ref = np.concatenate(self._ref)
-            mu1, s1 = gaussian_stats(pred)
-            mu2, s2 = gaussian_stats(ref)
-            out["fd"] = frechet_distance(mu1, s1, mu2, s2)
-            # cosine similarity of matched embeddings when counts align
-            if len(pred) == len(ref):
-                pn = pred / np.maximum(
-                    np.linalg.norm(pred, axis=1, keepdims=True), 1e-9)
-                rn = ref / np.maximum(
-                    np.linalg.norm(ref, axis=1, keepdims=True), 1e-9)
-                out["cs"] = float((pn * rn).sum(axis=1).mean())
+
+        def cat(key, which):
+            lst = self._acc[key][which]
+            return np.concatenate(lst) if lst else None
+
+        if self._probs:
+            out["is"] = inception_score(np.concatenate(self._probs))
+        for key, fd_name, cs_name in (("inc", "fid", None),
+                                      ("reid", "OS-freid", "OS-CS-reid"),
+                                      ("face", "face-FD", "face-CS"),
+                                      ("embed", "fd", "cs")):
+            pred, ref = cat(key, "pred"), cat(key, "ref")
+            if pred is None or ref is None or not len(ref):
+                continue
+            out[fd_name] = self._fd(pred, ref)
+            if cs_name and len(pred) == len(ref):
+                out[cs_name] = _cosine(pred, ref)
         return out
 
 
@@ -98,3 +150,45 @@ def vgg_embed_fn(vgg, vgg_params):
         return jnp.mean(feats[-1], axis=(1, 2))
 
     return embed
+
+
+def inception_embed_fn(params):
+    """FID/IS extractor from converted InceptionV3 weights
+    (metrics.zoo.InceptionV3 tree). imgs (N,H,W,3) in [-1,1] are resized
+    to 299² with align_corners=False, exactly the reference preprocess
+    (metrics.py:666,737); returns (pool (N,2048), probs (N,1000)).
+
+    Note: the reference registers InceptionV3 with output_blocks=[3] so
+    its IS softmaxes pool features — a known bug its own README flags as
+    superseded; we softmax real logits."""
+    from impersonator_tpu.metrics.zoo import InceptionV3
+    from impersonator_tpu.ops.sampler import resize_bilinear_torch
+
+    model = InceptionV3()
+
+    @jax.jit
+    def fn(imgs):
+        x = resize_bilinear_torch(imgs, 299, 299)
+        pool, logits = model.apply(params, x)
+        return pool, jax.nn.softmax(logits, axis=-1)
+
+    return fn
+
+
+def sphere_face_embed_fn(params):
+    """Face-identity embedding from Sphere20a (fc5, 512-d) on 112×96
+    resized frames — drives face-CS/face-FD. (The reference uses
+    MTCNN+InceptionResnetV1 crops, metrics.py:887-1024; sphereface is the
+    identity net the training stack already vendors — same metric family,
+    converter-tested.)"""
+    from impersonator_tpu.models.facenet import Sphere20a
+    from impersonator_tpu.ops.sampler import resize_bilinear_torch
+
+    model = Sphere20a()
+
+    @jax.jit
+    def fn(imgs):
+        x = resize_bilinear_torch(imgs, 112, 96)
+        return model.apply(params, x)[-1]
+
+    return fn

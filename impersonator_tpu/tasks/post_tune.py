@@ -180,13 +180,24 @@ def make_tune_step(imit, tx, face=None, face_params=None,
     return step
 
 
-def adaptive_personalize(imit, prior_smpls=None, epochs: int = 5,
-                         lr: float = 2e-4, use_face: bool = False,
+def adaptive_personalize(imit, prior_smpls=None, prior_poses_path=None,
+                         epochs: int = 5, lr: float = 2e-4,
+                         use_face: bool | None = None,
                          face=None, face_params=None, verbose: bool = False):
     """Full post-tune: meta pairs + Adam loop, updating imit.nets.gen_params
     in place (run_imitator.adaptive_personalize :199-211; budget 5 epochs
-    Adam(2e-4, β .5/.999), imitator.py:415-417)."""
+    Adam(2e-4, β .5/.999), imitator.py:415-417).
+
+    Prior poses come from (in priority order) ``prior_smpls`` (N,85),
+    ``prior_poses_path`` (the reference's assets/samples/A_priors pkl,
+    run_imitator.py:69-95), else jittered source poses. ``use_face=None``
+    auto-enables FaceLoss whenever a face net is supplied — the reference
+    post-tune loss always includes it (imitator.py:434-452)."""
     assert imit.src_info is not None, "personalize() first"
+    if use_face is None:
+        use_face = face is not None and face_params is not None
+    if prior_smpls is None and prior_poses_path:
+        prior_smpls = load_prior_poses(prior_poses_path)
     if prior_smpls is None:
         prior_smpls = default_prior_poses(imit.src_info["theta"])
     batch = build_meta_pairs(imit, prior_smpls)

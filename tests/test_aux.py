@@ -171,3 +171,23 @@ def test_inception_score_bounds(rng):
     assert inception_score(onehot, splits=4) > 5.0
     uniform = np.ones((200, 10)) / 10
     assert inception_score(uniform, splits=4) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_paired_runner_frame_weighted_mean():
+    """Batches of unequal size must combine frame-weighted, not
+    batch-weighted (VERDICT r1 weak #4)."""
+    import numpy as np
+    from impersonator_tpu.metrics import PairedMetricRunner, psnr
+
+    r = np.random.default_rng(0)
+    a1 = r.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+    a2 = r.uniform(-1, 1, (3, 16, 16, 3)).astype(np.float32)
+    b1 = np.clip(a1 + 0.1, -1, 1).astype(np.float32)
+    b2 = np.clip(a2 + 0.3, -1, 1).astype(np.float32)
+
+    runner = PairedMetricRunner(metric_types=("psnr",))
+    runner.update(a1, b1)
+    runner.update(a2, b2)
+    got = runner.evaluate()["psnr"]
+    want = (float(psnr(a1, b1)) * 1 + float(psnr(a2, b2)) * 3) / 4
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -73,8 +73,12 @@ def test_train_cli_synthetic(tmp_path):
     assert any(f.startswith("net_epoch_1_id_G") for f in os.listdir(expr))
 
 
-def _fake_iper_tree(tmp_path, rng, n_videos=1, n_frames=6, size=64):
-    """Fabricate the iPER on-disk layout: images + smpl pkls + protocol."""
+def _fake_iper_tree(tmp_path, rng, n_videos=2, n_frames=6, size=64):
+    """Fabricate the iPER on-disk layout (images + smpl pkls) plus a
+    protocol JSON in the REAL reference schema
+    (thirdparty/his_evaluators/data/iPER_protocol.json: {"val": {vid:
+    {"s_n", "self_imitation": {"target","range"}, "cross_imitation",
+    "flag"}}})."""
     import cv2
     import pickle
     data_dir = tmp_path / "iper"
@@ -96,25 +100,74 @@ def _fake_iper_tree(tmp_path, rng, n_videos=1, n_frames=6, size=64):
                 "shape": np.zeros((n_frames, 10), np.float32),
             }, f)
     (data_dir / "train.txt").write_text("\n".join(vids))
-    proto = [{
-        "videoID": vid, "source": {"1": [0]},
-        "self_imitation": {"begin": 1, "end": 4},
-        "cross_imitation": {},
-    } for vid in vids]
+    proto = {"val": {}}
+    for i, vid in enumerate(vids):
+        other = vids[(i + 1) % len(vids)]
+        proto["val"][vid] = {
+            "source": ["00000000.jpg", "00000002.jpg"],
+            "view angle": [0, 90],
+            "s_n": {"1": ["00000000.jpg"],
+                    "2": ["00000000.jpg", "00000002.jpg"]},
+            "mask": [], "novel view": False,
+            "self_imitation": {"target": vid, "range": [1, 4]},
+            "cross_imitation": {"target": other, "range": [2, 4]},
+            "flag": [2, 4],
+        }
     proto_path = data_dir / "protocol.json"
     proto_path.write_text(json.dumps(proto))
     return str(data_dir), str(proto_path)
 
 
-def test_evaluate_cli_on_fake_iper(tmp_path, rng):
+def test_protocol_parses_reference_schema(tmp_path, rng):
+    from impersonator_tpu.metrics.protocols import build_protocol
+    data_dir, proto = _fake_iper_tree(tmp_path, rng)
+    p = build_protocol("iPER", data_dir, proto)
+    p.setup(num_sources=2, load_smpls=True)
+    assert len(p) == 2
+    unit = p[0]
+    assert len(unit.src_paths) == 2                       # multi-view s_n
+    assert len(unit.si_paths) == 4                        # end-inclusive [1,4]
+    assert unit.ci_video and len(unit.ci_paths) == 3      # [2,4]
+    assert len(unit.flag_paths) == 3
+    assert unit.src_smpls.shape == (2, 85)
+    assert unit.si_smpls.shape == (4, 85)
+    assert unit.ci_smpls.shape == (3, 85)
+
+
+def test_evaluate_cli_on_fake_iper(tmp_path, rng, capsys):
+    """Full protocol runner: self-imitation (paired) + cross-imitation
+    (unpaired via a face embedder), truncation logged, preds written in
+    the reference's file layout."""
+    import jax
+    import jax.numpy as jnp
     from impersonator_tpu.cli.evaluate import evaluate_protocol
     from impersonator_tpu.config import TestConfig
+    from impersonator_tpu.models.facenet import Sphere20a
+
+    face = Sphere20a()
+    fparams = face.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 96, 3)))
+
+    @jax.jit
+    def face_fn(imgs):
+        from impersonator_tpu.ops.sampler import resize_bilinear_torch
+        return face.apply(fparams, resize_bilinear_torch(imgs, 112, 96))[-1]
+
     data_dir, proto = _fake_iper_tree(tmp_path, rng)
     cfg = TestConfig(image_size=S, repeat_num=1, data_dir=data_dir,
-                     checkpoints_dir=str(tmp_path / "ckpt"), name="eval")
-    results = evaluate_protocol(cfg, proto, max_frames=3)
-    assert set(results) == {"ssim", "psnr"}
-    assert np.isfinite(results["ssim"]) and np.isfinite(results["psnr"])
+                     checkpoints_dir=str(tmp_path / "ckpt"), name="eval",
+                     output_dir=str(tmp_path / "out"))
+    results = evaluate_protocol(cfg, proto, max_videos=1, max_frames=3,
+                                face_fn=face_fn, save_preds=True)
+    si = results["self_imitation"]
+    assert np.isfinite(si["ssim"]) and np.isfinite(si["psnr"])
+    assert "face-FD" in results["cross_imitation"]
+    assert np.isfinite(results["cross_imitation"]["face-CS"])
+    assert results["per_video"]
+    # truncation must be loud, not silent
+    assert "capping" in capsys.readouterr().out
+    # reference file layout
+    si_preds = os.listdir(tmp_path / "out" / "self_imitation")
+    assert "pred_00000000.jpg" in si_preds
 
 
 def test_imper_dataset_on_fake_tree(tmp_path, rng):
