@@ -68,15 +68,92 @@ def main():
     jax.block_until_ready(out)
     fps_full = n_frames / (time.perf_counter() - t0)
 
+    # ---- end-to-end with host IO in the measured loop: JPEG decode
+    # (native C++ prefetch loader when built) -> HMR -> imitation --------
+    fps_e2e = None
+    try:
+        import cv2
+        frame_dir = "/tmp/bench_frames"
+        os.makedirs(frame_dir, exist_ok=True)
+        paths = []
+        for i in range(n_frames):
+            p = os.path.join(frame_dir, f"{i:04d}.jpg")
+            if not os.path.exists(p):
+                cv2.imwrite(p, rng.uniform(0, 255, (256, 256, 3))
+                            .astype(np.uint8))
+            paths.append(p)
+        out = imit.inference_from_paths(paths[:batch], batch=batch)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = imit.inference_from_paths(paths, batch=batch)
+        jax.block_until_ready(out)
+        fps_e2e = n_frames / (time.perf_counter() - t0)
+    except Exception as e:  # bench must still report device numbers
+        print(f"# e2e host-io bench skipped: {e}")
+
+    # ---- pallas-vs-xla raster parity + tile-occupancy headroom ---------
+    from impersonator_tpu.ops import rasterizer as rast, smpl as smpl_ops
+    info = smpl_ops.get_details(imit.smpl_params,
+                                jnp.asarray(thetas[:batch]), imit.parents)
+    fv = rast.project_to_raster_space(info["verts"], info["cam"],
+                                      imit.smpl_params.faces)
+    tile, cap, span = imit.renderer.tile_params()
+    stats = {k: int(np.asarray(v).max())
+             for k, v in imit.renderer.tile_stats(fv).items()}
+    raster_parity = None
+    if jax.default_backend() == "tpu":
+        fa, wa = rast.rasterize_fim_wim_tiled(
+            fv, cfg.image_size, tile=tile, cap=cap, span=span, backend="xla")
+        fb, wb = rast.rasterize_fim_wim_tiled(
+            fv, cfg.image_size, tile=tile, cap=cap, span=span,
+            backend="pallas")
+        raster_parity = {
+            "fim_match": float((np.asarray(fa) == np.asarray(fb)).mean()),
+            "wim_max_abs_diff": float(
+                np.abs(np.asarray(wa) - np.asarray(wb)).max()),
+        }
+
+    # ---- phase breakdown (one timed call per stage) ---------------------
+    def timeit(fn, *args, reps=3):
+        o = fn(*args)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = fn(*args)
+        jax.block_until_ready(o)
+        return (time.perf_counter() - t0) / reps
+
+    smpl_fn = jax.jit(lambda t: smpl_ops.get_details(
+        imit.smpl_params, t, imit.parents)["verts"])
+    rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
+        f, cfg.image_size, tile=tile, cap=cap, span=span,
+        backend=("pallas" if jax.default_backend() == "tpu" else "xla")))
+    tb = jnp.asarray(thetas[:batch])
+    breakdown_ms = {
+        "smpl": round(timeit(smpl_fn, tb) * 1e3, 2),
+        "rasterize": round(timeit(rast_fn, fv) * 1e3, 2),
+        "full_step": round(timeit(
+            lambda t: imit._imitate_swap_jit(
+                imit.src_info, t, jnp.asarray(thetas[0:1, 0:3]),
+                cam_strategy="smooth"), tb) * 1e3, 2),
+    }
+
     n_chips = jax.device_count()
-    print(json.dumps({
+    result = {
         "metric": "frames/sec/chip at 256x256 motion imitation (HMR + SMPL"
                   " + rasterize + flow + LWB decode per frame)",
         "value": round(fps_full / n_chips, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_full / n_chips / 30.0, 3),
         "fps_given_smpls": round(fps_smpl / n_chips, 3),
-    }))
+        "tile_stats": stats,
+        "breakdown_ms_batch16": breakdown_ms,
+    }
+    if fps_e2e is not None:
+        result["fps_e2e_host_io"] = round(fps_e2e / n_chips, 3)
+    if raster_parity is not None:
+        result["raster_parity"] = raster_parity
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -54,9 +54,11 @@ def _load_msgpack(path):
         return serialization.msgpack_restore(f.read())
 
 
-def build_extractors(lpips_path=None, inception_path=None, sphere_path=None):
+def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
+                     senet_path=None):
     """Instantiate metric extractors from converted weight files; absent
-    files skip their metrics (logged)."""
+    files skip their metrics (logged). senet50 (VGGFace2) takes priority
+    over sphereface for the face embedding when both are given."""
     lpips_apply = inception_fn = face_fn = None
     if lpips_path and os.path.exists(lpips_path):
         from impersonator_tpu.metrics.zoo import LPIPS
@@ -73,10 +75,16 @@ def build_extractors(lpips_path=None, inception_path=None, sphere_path=None):
     elif inception_path:
         print(f"evaluate: inception weights not found at {inception_path}; "
               "is/fid will be skipped")
-    if sphere_path and os.path.exists(sphere_path):
+    if senet_path and os.path.exists(senet_path):
+        from impersonator_tpu.metrics.unpaired import senet_face_embed_fn
+        face_fn = senet_face_embed_fn(_load_msgpack(senet_path))
+    elif senet_path:
+        print(f"evaluate: senet50 weights not found at {senet_path}; "
+              "falling back to sphereface for face-CS/face-FD")
+    if face_fn is None and sphere_path and os.path.exists(sphere_path):
         from impersonator_tpu.metrics.unpaired import sphere_face_embed_fn
         face_fn = sphere_face_embed_fn(_load_msgpack(sphere_path))
-    elif sphere_path:
+    elif face_fn is None and sphere_path:
         print(f"evaluate: sphereface weights not found at {sphere_path}; "
               "face-CS/face-FD will be skipped")
     return lpips_apply, inception_fn, face_fn
@@ -221,11 +229,13 @@ def main(argv=None):
     parser.add_argument("--lpips_path", default=None)
     parser.add_argument("--inception_path", default=None)
     parser.add_argument("--sphere_path", default=None)
+    parser.add_argument("--senet_path", default=None)
     parser.add_argument("--prior_poses", default=None)
     extra, _ = parser.parse_known_args(argv)
 
     lpips_apply, inception_fn, face_fn = build_extractors(
-        extra.lpips_path, extra.inception_path, extra.sphere_path)
+        extra.lpips_path, extra.inception_path, extra.sphere_path,
+        extra.senet_path)
     results = evaluate_protocol(
         cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
         extra.num_sources, extra.cross_imitation,

@@ -27,7 +27,14 @@ def collect_frames(tgt_path: str):
 
 
 def main(argv=None):
+    import argparse
     cfg = from_args(TestConfig, argv)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--prior_poses", default=None,
+                        help="pkl of prior pose thetas for post_tune "
+                             "(the reference's assets/samples/A_priors, "
+                             "run_imitator.py:69-95)")
+    extra, _ = parser.parse_known_args(argv)
     cfg.save("test")
     imitator = Imitator(cfg)
 
@@ -37,13 +44,13 @@ def main(argv=None):
 
     if cfg.post_tune:
         from impersonator_tpu.tasks.post_tune import adaptive_personalize
-        adaptive_personalize(imitator)
+        adaptive_personalize(imitator, prior_poses_path=extra.prior_poses)
 
     frames = collect_frames(cfg.tgt_path)
-    tgt_imgs = np.stack([
-        cv_utils.resize_img_hwc(cv_utils.read_img(p), 224) for p in frames])
-    preds = np.asarray(imitator.inference(tgt_imgs,
-                                          cam_strategy=cfg.cam_strategy))
+    # streaming feed: host decode (native C++ prefetch when built)
+    # overlaps device compute
+    preds = np.asarray(imitator.inference_from_paths(
+        frames, cam_strategy=cfg.cam_strategy))
 
     if cfg.save_res and cfg.output_dir:
         os.makedirs(cfg.output_dir, exist_ok=True)

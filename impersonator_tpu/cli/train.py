@@ -28,10 +28,26 @@ from impersonator_tpu.utils.visualizer import Visualizer
 
 
 def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 for multi-host runs")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    extra, _ = parser.parse_known_args(argv)
+
+    # multi-host init MUST precede the first backend-touching jax call
+    # (SURVEY §2.3 table row "multi-host": jax.distributed + DCN)
+    from impersonator_tpu.parallel.distributed import (
+        global_mesh, global_shard_batch, init_distributed)
+    multiprocess = init_distributed(extra.coordinator, extra.num_processes,
+                                    extra.process_id)
+
     cfg = from_args(TrainConfig, argv)
-    cfg.save("train")
+    if jax.process_index() == 0:
+        cfg.save("train")
 
     aug = cfg.model == "impersonator_trainer_aug"
+    baseline = cfg.model in ("concat", "texture_warping", "feature_warping")
     if not cfg.smpl_model:
         dataset_name = "synthetic_bg" if aug else "synthetic"
     else:
@@ -42,23 +58,40 @@ def main(argv=None):
         trainer = aug_mod.build_aug_trainer(cfg)
         state = aug_mod.init_aug_state(trainer)
         make_step = aug_mod.make_aug_train_step
+    elif baseline:
+        # paper ablations (reference models/baseline.py, --model concat|
+        # texture_warping|feature_warping)
+        from impersonator_tpu.tasks import trainer_baseline as base_mod
+        trainer = base_mod.build_baseline_trainer(cfg)
+        state = trainer.init_state()
+        make_step = base_mod.make_train_step
     else:
         trainer = trainer_mod.build_trainer(cfg)
         state = trainer.init_state()
         make_step = trainer_mod.make_train_step
 
-    mesh = (make_data_mesh(cfg.batch_size)
-            if cfg.mesh_shape == (-1,) else
-            make_mesh(cfg.mesh_shape, cfg.mesh_axes))
+    if multiprocess:
+        # identical global mesh on every process; each process feeds its
+        # local slice of the global batch
+        mesh = global_mesh()
+        assert cfg.batch_size % jax.process_count() == 0
+        local_bs = cfg.batch_size // jax.process_count()
+    else:
+        mesh = (make_data_mesh(cfg.batch_size)
+                if cfg.mesh_shape == (-1,) else
+                make_mesh(cfg.mesh_shape, cfg.mesh_axes))
+        local_bs = cfg.batch_size
     state = replicate_tree(state, mesh)
 
     dataset = dataset_by_name(dataset_name, cfg)
-    loader = DataLoader(dataset, cfg.batch_size, num_workers=cfg.n_threads,
-                        mesh=mesh)
+    loader = DataLoader(dataset, local_bs, num_workers=cfg.n_threads,
+                        mesh=None if multiprocess else mesh)
 
     vis = Visualizer(cfg.expr_dir())
     step_fn = jax.jit(make_step(trainer, train_d=True))
     step_g_only = jax.jit(make_step(trainer, train_d=False))
+    visuals_fn = (jax.jit(trainer_mod.make_visuals_fn(trainer))
+                  if not aug else None)
 
     start_epoch = cfg.resolve_load_epoch()
     if start_epoch > 0:
@@ -69,15 +102,19 @@ def main(argv=None):
     i_step = 0
     last_print = time.time()
     last_save = time.time()
+    last_display = time.time()
+    is_chief = jax.process_index() == 0
     with mesh:
         for epoch in range(start_epoch, total_epochs):
             state = trainer.set_lr(state, trainer.epoch_lr(epoch))
             for batch in loader:
+                if multiprocess:
+                    batch = global_shard_batch(batch, mesh)
                 train_d = (i_step % cfg.train_G_every_n_iterations) == 0
                 fn = step_fn if train_d else step_g_only
                 t0 = time.perf_counter()
                 state, metrics = fn(state, batch)
-                if time.time() - last_print > cfg.print_freq_s:
+                if time.time() - last_print > cfg.print_freq_s and is_chief:
                     jax.block_until_ready(metrics["g_total"])
                     dt = time.perf_counter() - t0
                     errors = {k: float(v) for k, v in metrics.items()}
@@ -85,12 +122,19 @@ def main(argv=None):
                                              dt / cfg.batch_size)
                     vis.log_scalars(i_step, epoch, errors)
                     last_print = time.time()
-                if time.time() - last_save > cfg.save_latest_freq_s:
+                if (visuals_fn is not None and is_chief
+                        and time.time() - last_display > cfg.display_freq_s):
+                    # periodic visual dump (reference train.py:62-85)
+                    vis.save_images(i_step, visuals_fn(state, batch))
+                    last_display = time.time()
+                if time.time() - last_save > cfg.save_latest_freq_s \
+                        and is_chief:
                     ckpt.save_train_state(state, cfg.expr_dir(), "latest")
                     last_save = time.time()
                 i_step += 1
-            ckpt.save_train_state(state, cfg.expr_dir(), epoch + 1)
-            print(f"saved epoch {epoch + 1}", flush=True)
+            if is_chief:
+                ckpt.save_train_state(state, cfg.expr_dir(), epoch + 1)
+                print(f"saved epoch {epoch + 1}", flush=True)
     print("training done.", flush=True)
     return state
 

@@ -175,6 +175,24 @@ def inception_embed_fn(params):
     return fn
 
 
+def senet_face_embed_fn(tree):
+    """Face-identity embedding from the VGGFace2 SENet50 (2048-d pooled
+    top feature) on 224² resized frames — the reference's higher-capacity
+    face backbone (networks/facenet.py:193, weights senet50_ft.pkl);
+    drives face-CS/face-FD like sphere_face_embed_fn."""
+    from impersonator_tpu.models.facenet import SENet50
+    from impersonator_tpu.ops.sampler import resize_bilinear_torch
+
+    model = SENet50()
+
+    @jax.jit
+    def fn(imgs):
+        x = resize_bilinear_torch(imgs, 224, 224)
+        return model.apply(tree, x)[1]
+
+    return fn
+
+
 def sphere_face_embed_fn(params):
     """Face-identity embedding from Sphere20a (fc5, 512-d) on 112×96
     resized frames — drives face-CS/face-FD. (The reference uses

@@ -166,23 +166,30 @@ def face_loss_from_feats(feats1: Sequence, feats2: Sequence) -> jax.Array:
     return total
 
 
-def face_loss(face_net: Sphere20a, face_params, imgs1, imgs2,
+def face_loss(face_net, face_params, imgs1, imgs2,
               bbox1=None, bbox2=None, kps1=None, kps2=None) -> jax.Array:
-    """Crop heads (by kps or bbox), run SphereFace, L1 over features.
+    """Crop heads (by kps or bbox), run the face net, L1 over features.
 
     Mirrors FaceLoss.forward (networks.py:230-271) minus its imgs1/imgs2
     copy-paste bug (SURVEY §7.4: the reference resizes imgs1 in the imgs2
-    branch)."""
+    branch). face_net is Sphere20a (112×96 crops) or SENet50 (224×224,
+    selected in the reference by 'senet' in the checkpoint path,
+    networks.py:214-222)."""
+    from impersonator_tpu.models.facenet import SENet50
+    is_senet = isinstance(face_net, SENet50)
+    fh, fw = (224, 224) if is_senet else (FACE_H, FACE_W)
     if kps1 is not None:
         bbox1 = head_bbox_from_kps(kps1)
     if kps2 is not None:
         bbox2 = head_bbox_from_kps(kps2)
-    head1 = (crop_resize_fractional(imgs1, bbox1, FACE_H, FACE_W)
-             if bbox1 is not None else resize_bilinear_align(imgs1, FACE_H, FACE_W))
-    head2 = (crop_resize_fractional(imgs2, bbox2, FACE_H, FACE_W)
-             if bbox2 is not None else resize_bilinear_align(imgs2, FACE_H, FACE_W))
+    head1 = (crop_resize_fractional(imgs1, bbox1, fh, fw)
+             if bbox1 is not None else resize_bilinear_align(imgs1, fh, fw))
+    head2 = (crop_resize_fractional(imgs2, bbox2, fh, fw)
+             if bbox2 is not None else resize_bilinear_align(imgs2, fh, fw))
     f1 = face_net.apply(face_params, head1)
     f2 = face_net.apply(face_params, head2)
+    if is_senet:
+        f1, f2 = f1[0], f2[0]     # (stage feats, embed) -> stage feats
     return face_loss_from_feats(f1, f2)
 
 

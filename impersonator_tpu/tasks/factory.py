@@ -31,9 +31,7 @@ def get_by_name(name: str, cfg, **kwargs):
         from impersonator_tpu.tasks.trainer_aug import build_aug_trainer
         return build_aug_trainer(cfg, **kwargs)
     if name in ("concat", "texture_warping", "feature_warping"):
-        from impersonator_tpu.models import baseline
-        nets = {"concat": baseline.ConcatGenerator,
-                "texture_warping": baseline.ConcatGenerator,
-                "feature_warping": baseline.FeatureWarpingGenerator}
-        return nets[name](**kwargs)
+        from impersonator_tpu.tasks.trainer_baseline import (
+            build_baseline_trainer)
+        return build_baseline_trainer(cfg, **kwargs)
     raise ValueError(f"Model {name} not recognized.")

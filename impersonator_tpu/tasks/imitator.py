@@ -39,7 +39,14 @@ from impersonator_tpu.tasks.renderer import SMPLRenderer
 
 @dataclasses.dataclass
 class ImitatorNets:
-    """Network definitions + parameters (a plain pytree container)."""
+    """Network definitions + parameters.
+
+    Registered as a pytree (modules are static aux, param trees are
+    children) so jitted task cores take the nets as a runtime ARGUMENT —
+    never a closure constant. Closure-captured params would (a) inline
+    ~100MB of weights into every HLO, making compiles minutes-slow and
+    uncacheable across param values, and (b) freeze stale weights into
+    already-compiled programs, silently ignoring post-tune updates."""
 
     generator: ImpersonatorGenerator
     gen_params: Any
@@ -47,6 +54,14 @@ class ImitatorNets:
     hmr_params: Any
     bgnet: Optional[InpaintSANet] = None     # deepfillv2 when bg_model != ORIGINAL
     bgnet_params: Any = None
+
+
+jax.tree_util.register_pytree_node(
+    ImitatorNets,
+    lambda n: ((n.gen_params, n.hmr_params, n.bgnet_params),
+               (n.generator, n.hmr, n.bgnet)),
+    lambda aux, ch: ImitatorNets(aux[0], ch[0], aux[1], ch[1], aux[2], ch[2]),
+)
 
 
 def build_nets(cfg: TestConfig, assets: SMPLAssets, rng=None) -> ImitatorNets:
@@ -62,12 +77,15 @@ def build_nets(cfg: TestConfig, assets: SMPLAssets, rng=None) -> ImitatorNets:
                                 repeat_num=cfg.repeat_num)
     s = cfg.image_size
     k1, k2, k3 = jax.random.split(rng, 3)
-    gen_params = gen.init(
+    # jit the inits: one compiled (and persistently cached) program each
+    # instead of hundreds of eager per-primitive compiles — on a 1-core
+    # host the eager path takes minutes
+    gen_params = jax.jit(gen.init)(
         k1, jnp.zeros((1, s, s, 4)), jnp.zeros((1, s, s, 6)),
         jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 2)))
 
     hmr = HumanModelRecovery()
-    hmr_params = hmr.init(k2, jnp.zeros((1, 224, 224, 3)))
+    hmr_params = jax.jit(hmr.init)(k2, jnp.zeros((1, 224, 224, 3)))
     # regressor starts from the canonical mean theta (hmr.py:188-210)
     hmr_params = jax.tree_util.tree_map(lambda x: x, hmr_params)
     hmr_params["params"]["regressor"]["mean_theta"] = jnp.asarray(
@@ -76,7 +94,7 @@ def build_nets(cfg: TestConfig, assets: SMPLAssets, rng=None) -> ImitatorNets:
     bgnet = bg_params = None
     if cfg.bg_model != "ORIGINAL":
         bgnet = InpaintSANet(c_dim=4)
-        bg_params = bgnet.init(
+        bg_params = jax.jit(bgnet.init)(
             k3, jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 1)))
     return ImitatorNets(gen, gen_params, hmr, hmr_params, bgnet, bg_params)
 
@@ -249,22 +267,37 @@ class Imitator:
         compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else None)
         self.compute_dtype = compute_dtype
-        self._personalize_jit = jax.jit(
-            partial(personalize_core, self.nets, self.renderer,
-                    self.smpl_params, self.parents,
-                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis,
-                    compute_dtype=compute_dtype))
-        self._imitate_jit = jax.jit(
-            partial(imitate_core, self.nets, self.renderer,
-                    self.smpl_params, self.parents,
-                    front_warp=cfg.front_warp, compute_dtype=compute_dtype))
-        self._imitate_swap_jit = jax.jit(
-            partial(imitate_with_swap_core, self.nets, self.renderer,
-                    self.smpl_params, self.parents,
-                    front_warp=cfg.front_warp, compute_dtype=compute_dtype),
+        # nets + smpl_params are jit ARGUMENTS (pytrees), not closure
+        # constants — see ImitatorNets docstring. Renderer tables (~200KB)
+        # and parents stay closure-bound. Public wrappers bind the CURRENT
+        # self.nets at call time so post-tune updates take effect.
+        renderer, smpl_params, parents = (self.renderer, self.smpl_params,
+                                          self.parents)
+        _pers = jax.jit(partial(
+            personalize_core, renderer=renderer, parents=parents,
+            bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis,
+            compute_dtype=compute_dtype))
+        self._personalize_jit = lambda img, theta: _pers(
+            self.nets, smpl_params=self.smpl_params, img=img,
+            src_theta=theta)
+        _imit = jax.jit(partial(
+            imitate_core, renderer=renderer, parents=parents,
+            front_warp=cfg.front_warp, compute_dtype=compute_dtype))
+        self._imitate_jit = lambda src_state, tsf: _imit(
+            self.nets, smpl_params=self.smpl_params, src_state=src_state,
+            tsf_theta=tsf)
+        _imit_swap = jax.jit(
+            partial(imitate_with_swap_core, renderer=renderer,
+                    parents=parents, front_warp=cfg.front_warp,
+                    compute_dtype=compute_dtype),
             static_argnames=("cam_strategy",))
-        self._hmr_jit = jax.jit(
-            lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
+        self._imitate_swap_jit = \
+            lambda src_state, tgt, first_cam, cam_strategy: _imit_swap(
+                self.nets, smpl_params=self.smpl_params,
+                src_state=src_state, tgt_smpls=tgt, first_cam=first_cam,
+                cam_strategy=cam_strategy)
+        _hmr = jax.jit(self.nets.hmr.apply)
+        self._hmr_jit = lambda img: _hmr(self.nets.hmr_params, img)
 
     # --- HMR -----------------------------------------------------------
 
@@ -309,6 +342,70 @@ class Imitator:
                 self.src_info, jnp.asarray(smpls[i:i + batch]), first_cam,
                 cam_strategy=cam_strategy))
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
+
+    def inference_from_paths(self, paths, cam_strategy: str = "smooth",
+                             batch: int = 8):
+        """Stream frames from disk: host decode (the C++ prefetch loader
+        from csrc/dataloader.cpp when built — GIL-free libjpeg threads —
+        else a cv2 thread pool) overlapped with device compute. This is
+        the production video feed; the reference's loop does synchronous
+        cv2 reads per frame (imitator.py:270-283)."""
+        assert self.src_info is not None, "call personalize() first"
+        n = len(paths)
+        pad = (-n) % batch
+        all_paths = list(paths) + [paths[-1]] * pad
+
+        try:
+            from impersonator_tpu.data import native
+            use_native = native.available()
+        except ImportError:
+            use_native = False
+
+        def batches():
+            if use_native:
+                loader = native.NativeImageLoader(224, threads=3,
+                                                  capacity=2 * batch)
+                ahead = min(2 * batch, len(all_paths))
+                for p in all_paths[:ahead]:
+                    loader.submit(p)
+                buf = []
+                for _ in range(len(all_paths)):
+                    frame, _ = loader.next()
+                    if ahead < len(all_paths):
+                        loader.submit(all_paths[ahead])
+                        ahead += 1
+                    buf.append(frame)
+                    if len(buf) == batch:
+                        yield np.stack(buf)
+                        buf = []
+                loader.close()
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                from impersonator_tpu.utils import cv_utils
+
+                def read(p):
+                    return cv_utils.resize_img_hwc(cv_utils.read_img(p), 224)
+
+                with ThreadPoolExecutor(4) as ex:
+                    it = ex.map(read, all_paths)
+                    buf = []
+                    for frame in it:
+                        buf.append(frame)
+                        if len(buf) == batch:
+                            yield np.stack(buf)
+                            buf = []
+
+        outs = []
+        first_cam = None
+        for chunk in batches():
+            thetas = self._hmr_jit(jnp.asarray(chunk))
+            if first_cam is None:
+                first_cam = thetas[0:1, 0:3]
+                self.first_cam = first_cam
+            outs.append(self._imitate_swap_jit(
+                self.src_info, thetas, first_cam, cam_strategy=cam_strategy))
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[:n]
 
     def inference(self, tgt_imgs224, cam_strategy: str = "smooth",
                   batch: int = 8):

@@ -70,18 +70,52 @@ class SMPLRenderer:
             verts, cam, self.faces, self.eye_z_value)
         s = self.image_size
         nf = self.faces.shape[0]
-        if s % 8 == 0 and nf > 256:
-            # 8px tiles keep worst-case tile occupancy well under cap at
-            # SMPL face densities (measured max 270 at 256²); the z-buffer
-            # stage runs as a Pallas kernel on TPU (ops/pallas_raster.py)
+        tile, cap, span = self.tile_params()
+        if tile and nf > 256:
+            # The tile side scales with resolution so per-tile face
+            # occupancy is resolution-invariant (8px at 256² — measured
+            # max 270 < cap 288 — 16px at 512², ...); tile_stats()
+            # verifies headroom for any new geometry regime. The z-buffer
+            # stage runs as a Pallas kernel on TPU (ops/pallas_raster.py).
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
             fim, wim = rast.rasterize_fim_wim_tiled(
-                f2verts, s, self.near, self.far, tile=8,
-                cap=min(288, nf), backend=backend)
+                f2verts, s, self.near, self.far, tile=tile,
+                cap=min(cap, nf), span=span, backend=backend)
         else:
             fim, wim = rast.rasterize_fim_wim(
                 f2verts, s, self.near, self.far)
         return f2verts, fim, wim
+
+    def tile_params(self):
+        """(tile, cap, span) of the production tiled path; tile=0 means
+        the brute path is used (image doesn't tile evenly).
+
+        * tile scales with resolution (8px at 256²) so per-tile face
+          occupancy is resolution-invariant;
+        * span scales with mesh coarseness: face linear size (in tiles)
+          grows as sqrt(nf_ref / nf), so coarser-than-SMPL meshes widen
+          the enumeration window; key-sort cost stays ~nf·span² ≈ const.
+        """
+        s = self.image_size
+        tile = 8 * max(1, s // 256)
+        if s % tile:
+            tile = 8
+        if s % tile:
+            return 0, 0, 0
+        nf = self.faces.shape[0]
+        span = max(2, int(np.ceil(2.0 * np.sqrt(13776.0 / max(nf, 1)))))
+        return tile, 288, span
+
+    def tile_stats(self, f2verts):
+        """Overflow diagnostics of the production tiled configuration —
+        call from tests/bench/debug to assert the cap has headroom
+        (ops.rasterizer.raster_tile_stats)."""
+        tile, cap, span = self.tile_params()
+        if not tile:
+            return None
+        return rast.raster_tile_stats(
+            f2verts, self.image_size, self.far, tile=tile, cap=cap,
+            span=span)
 
     @staticmethod
     def f2pts_from_f2verts(f2verts):
@@ -139,6 +173,45 @@ class SMPLRenderer:
         grid = sampler.reshape(b, nf, tt, 2)
         return grid_sample(images, grid.reshape(b, nf * tt, 1, 2)).reshape(
             b, nf, tt, images.shape[-1])
+
+    def render_textured(self, fim, wim, tex):
+        """Paint covered pixels by bilinearly sampling their face's T×T
+        barycentric texture patch at the pixel's barycentrics — the
+        textured forward render feeding the texture-warping baseline
+        (reference models/baseline.py:571,1071: render.render(tgt_cam,
+        tgt_verts, src_tex); CUDA forward_texture_sampling semantics).
+        One gather per bilinear corner — no per-pixel loops, MXU-free
+        and fully fused by XLA.
+
+        fim (B,S,S) int face ids (-1 bg), wim (B,S,S,3) barycentrics,
+        tex (B,nf,T*T,C) from :meth:`extract_texture` (grid laid out
+        a-major over (a,b)=(w0,w1), dynamic_sampler_grid). Background
+        pixels are 0."""
+        b, s, _ = fim.shape
+        c = tex.shape[-1]
+        t = self.tex_size
+        f = jnp.maximum(fim, 0).astype(jnp.int32)
+        flat = tex.reshape(b, -1, c)
+
+        def gather(ia, ib):
+            idx = (f * (t * t) + ia * t + ib).reshape(b, -1)
+            out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            return out.reshape(b, s, s, c)
+
+        if t == 1:
+            img = gather(jnp.zeros_like(f), jnp.zeros_like(f))
+        else:
+            fa = jnp.clip(wim[..., 0], 0.0, 1.0) * (t - 1)
+            fb = jnp.clip(wim[..., 1], 0.0, 1.0) * (t - 1)
+            ia = jnp.clip(jnp.floor(fa).astype(jnp.int32), 0, t - 2)
+            ib = jnp.clip(jnp.floor(fb).astype(jnp.int32), 0, t - 2)
+            da = (fa - ia)[..., None]
+            db = (fb - ib)[..., None]
+            img = ((1 - da) * (1 - db) * gather(ia, ib)
+                   + (1 - da) * db * gather(ia, ib + 1)
+                   + da * (1 - db) * gather(ia + 1, ib)
+                   + da * db * gather(ia + 1, ib + 1))
+        return img * (fim >= 0).astype(img.dtype)[..., None]
 
 
 def batched_pinned(state: SMPLRenderer):

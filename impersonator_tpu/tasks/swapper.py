@@ -110,12 +110,23 @@ class Swapper:
         self.src_info = None
         self.tsf_info = None
 
-        self._personalize_jit = jax.jit(
-            partial(imitator_mod.personalize_core, self.nets, self.renderer,
-                    self.smpl_params, self.parents,
-                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis))
-        self._hmr_jit = jax.jit(
-            lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
+        # nets/smpl_params as jit arguments, not closure constants
+        # (see ImitatorNets docstring)
+        _pers = jax.jit(partial(
+            imitator_mod.personalize_core, renderer=self.renderer,
+            parents=self.parents, bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks,
+            only_vis=cfg.only_vis))
+        self._personalize_jit = lambda img, theta: _pers(
+            self.nets, smpl_params=self.smpl_params, img=img,
+            src_theta=theta)
+        _hmr = jax.jit(self.nets.hmr.apply)
+        self._hmr_jit = lambda img: _hmr(self.nets.hmr_params, img)
+        compute_dtype = (jnp.bfloat16
+                         if cfg.compute_dtype == "bfloat16" else None)
+        self._swap_jit = jax.jit(
+            partial(swap_core, renderer=self.renderer,
+                    front_warp=cfg.front_warp, compute_dtype=compute_dtype),
+            static_argnames=("selected_ids", "left_ids"))
 
     def personalize(self, img: np.ndarray, smpl=None):
         """img: (S, S, 3) in [-1, 1]. Adds the 'par' part encoding on top
@@ -144,9 +155,7 @@ class Swapper:
         left_faces = (np.unique(np.concatenate(
             [self.part_faces[i] for i in left])) if left
             else np.zeros((0,), np.int64))
-        compute_dtype = (jnp.bfloat16
-                         if self.cfg.compute_dtype == "bfloat16" else None)
-        return swap_core(self.nets, self.renderer, src_info, tgt_info,
-                         left_faces, tuple(selected), tuple(left),
-                         front_warp=self.cfg.front_warp,
-                         compute_dtype=compute_dtype)
+        return self._swap_jit(self.nets, src_state=src_info,
+                              tgt_state=tgt_info, left_faces=left_faces,
+                              selected_ids=tuple(selected),
+                              left_ids=tuple(left))

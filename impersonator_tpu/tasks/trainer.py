@@ -125,7 +125,7 @@ class Trainer:
     hmr_params: Any
     vgg: Optional[Vgg19]
     vgg_params: Any
-    face: Optional[Sphere20a]
+    face: Any                     # Sphere20a | SENet50 | None
     face_params: Any
     g_tx: Any
     d_tx: Any
@@ -134,10 +134,10 @@ class Trainer:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         s = self.cfg.image_size
         k1, k2 = jax.random.split(rng)
-        g_params = self.generator.init(
+        g_params = jax.jit(self.generator.init)(
             k1, jnp.zeros((1, s, s, 4)), jnp.zeros((1, s, s, 6)),
             jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 2)))
-        d_params = self.discriminator.init(k2, jnp.zeros((1, s, s, 6)))
+        d_params = jax.jit(self.discriminator.init)(k2, jnp.zeros((1, s, s, 6)))
         return TrainState(
             g_params=g_params, d_params=d_params,
             g_opt=self.g_tx.init(g_params), d_opt=self.d_tx.init(d_params),
@@ -176,18 +176,26 @@ def build_trainer(cfg: TrainConfig, assets: SMPLAssets | None = None,
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed + 7)
     k1, k2, k3 = jax.random.split(rng, 3)
     hmr = HumanModelRecovery()
-    hmr_params = hmr.init(k1, jnp.zeros((1, 224, 224, 3)))
+    hmr_params = jax.jit(hmr.init)(k1, jnp.zeros((1, 224, 224, 3)))
     hmr_params["params"]["regressor"]["mean_theta"] = jnp.asarray(
         assets.mean_theta)
 
     vgg = vgg_params = None
     if cfg.use_vgg or cfg.use_style:
         vgg = Vgg19()
-        vgg_params = vgg.init(k2, jnp.zeros((1, 64, 64, 3)))
+        vgg_params = jax.jit(vgg.init)(k2, jnp.zeros((1, 64, 64, 3)))
     face = face_params = None
     if cfg.use_face:
-        face = Sphere20a()
-        face_params = face.init(k3, jnp.zeros((1, L.FACE_H, L.FACE_W, 3)))
+        # backbone picked by checkpoint path, like the reference
+        # (networks.py:214-222: 'senet' in path -> SENet50 at 224²)
+        if "senet" in (cfg.face_model or ""):
+            from impersonator_tpu.models.facenet import SENet50
+            face = SENet50()
+            face_params = jax.jit(face.init)(k3, jnp.zeros((1, 224, 224, 3)))
+        else:
+            face = Sphere20a()
+            face_params = jax.jit(face.init)(
+                k3, jnp.zeros((1, L.FACE_H, L.FACE_W, 3)))
 
     g_tx = optax.inject_hyperparams(optax.adam)(
         learning_rate=cfg.lr_G, b1=cfg.G_adam_b1, b2=cfg.G_adam_b2)
@@ -322,3 +330,39 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
         return new_state, metrics
 
     return train_step
+
+
+def make_visuals_fn(trainer: Trainer):
+    """Jittable (state, batch) -> image dict for the periodic visual dump
+    (the reference's display cadence, train.py:62-85 +
+    get_current_visuals, impersonator_trainer.py:428-454). Kept separate
+    from the train step so the hot loop carries no visual bandwidth."""
+    cfg = trainer.cfg
+    gen = trainer.generator
+    renderer, smpl_params = trainer.renderer, trainer.smpl_params
+    parents = trainer.assets.parents
+
+    def visuals(state: TrainState, batch):
+        images, smpls = batch["images"], batch["smpls"]
+        src_img, tsf_img = images[:, 0], images[:, 1]
+        inputs = body_recovery_flow(
+            renderer, smpl_params, parents, src_img, tsf_img,
+            smpls[:, 0], smpls[:, 1], bg_both=cfg.bg_both)
+        bg_in = (jnp.concatenate(
+            [inputs["input_G_bg"], inputs["input_G_tsf_bg"]], axis=0)
+            if cfg.bg_both else inputs["input_G_bg"])
+        fake_bg, src_color, src_mask, tsf_color, tsf_mask = gen.apply(
+            state.g_params, bg_in, inputs["input_G_src"],
+            inputs["input_G_tsf"], inputs["T"])
+        bs = src_color.shape[0]
+        fake_src = src_mask * fake_bg[:bs] + (1 - src_mask) * src_color
+        tsf_bg = fake_bg[bs:] if cfg.bg_both else fake_bg[:bs]
+        fake_tsf = tsf_mask * tsf_bg + (1 - tsf_mask) * tsf_color
+        return {
+            "1_real_img": src_img, "2_input_tsf": inputs["input_G_tsf"][..., :3],
+            "3_fake_src": fake_src, "4_fake_tsf": fake_tsf,
+            "5_fake_bg": fake_bg[:bs], "6_real_tsf": tsf_img,
+            "7_fake_mask": jnp.repeat(tsf_mask, 3, axis=-1),
+        }
+
+    return visuals

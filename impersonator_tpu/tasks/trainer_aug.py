@@ -43,10 +43,10 @@ def init_aug_state(trainer: Trainer, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(trainer.cfg.seed)
     s = trainer.cfg.image_size
     k1, k2 = jax.random.split(rng)
-    g_params = trainer.generator.init(
+    g_params = jax.jit(trainer.generator.init)(
         k1, jnp.zeros((1, s, s, 4)), jnp.zeros((1, s, s, 6)),
         jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 2)))
-    d_params = trainer.discriminator.init(
+    d_params = jax.jit(trainer.discriminator.init)(
         k2, jnp.zeros((1, s, s, 4)), jnp.zeros((1, s, s, 6)),
         jnp.zeros((1, 4), jnp.float32))
     return TrainState(g_params, d_params, trainer.g_tx.init(g_params),

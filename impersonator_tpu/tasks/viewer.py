@@ -83,18 +83,24 @@ class Viewer:
                      else imitator_mod.build_nets(cfg, self.assets))
         self.src_info = None
 
-        self._personalize_jit = jax.jit(
-            partial(imitator_mod.personalize_core, self.nets, self.renderer,
-                    self.smpl_params, self.parents,
-                    bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis))
+        # nets/smpl_params as jit arguments, not closure constants
+        # (see ImitatorNets docstring)
+        _pers = jax.jit(partial(
+            imitator_mod.personalize_core, renderer=self.renderer,
+            parents=self.parents, bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks,
+            only_vis=cfg.only_vis))
+        self._personalize_jit = lambda img, theta: _pers(
+            self.nets, smpl_params=self.smpl_params, img=img,
+            src_theta=theta)
         compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else None)
-        self._view_jit = jax.jit(
-            partial(view_core, self.nets, self.renderer,
-                    bg_replace=cfg.bg_replace, front_warp=cfg.front_warp,
-                    compute_dtype=compute_dtype))
-        self._hmr_jit = jax.jit(
-            lambda img: self.nets.hmr.apply(self.nets.hmr_params, img))
+        _view = jax.jit(partial(
+            view_core, renderer=self.renderer, bg_replace=cfg.bg_replace,
+            front_warp=cfg.front_warp, compute_dtype=compute_dtype))
+        self._view_jit = lambda src_state, r, t: _view(
+            self.nets, src_state=src_state, rot_mats=r, trans=t)
+        _hmr = jax.jit(self.nets.hmr.apply)
+        self._hmr_jit = lambda img: _hmr(self.nets.hmr_params, img)
 
     def personalize(self, img: np.ndarray, smpl=None):
         arr = jnp.asarray(img, jnp.float32)[None]

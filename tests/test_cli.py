@@ -174,7 +174,7 @@ def test_imper_dataset_on_fake_tree(tmp_path, rng):
     from impersonator_tpu.data import ImPerDataset
     data_dir, _ = _fake_iper_tree(tmp_path, rng)
     ds = ImPerDataset(data_dir, "train.txt", image_size=S)
-    assert len(ds) == 1
+    assert len(ds) == 2   # one entry per fabricated video
     sample = ds[0]
     assert sample["images"].shape == (2, S, S, 3)
     assert sample["smpls"].shape == (2, 85)

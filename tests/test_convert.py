@@ -86,3 +86,25 @@ def test_full_generator_conversion_loads(rng):
         assert got_flat[key] == leaf.shape, (
             f"shape mismatch at {key}: {got_flat[key]} vs {leaf.shape}")
     assert len(got_flat) == len(ref_flat)
+
+
+def test_senet50_converted_weights_match_torch(rng):
+    """senet50 (VGGFace2 SE-ResNet-50, reference networks/facenet.py:193)
+    converter parity: stage feats + 2048-d embedding bit-close."""
+    from impersonator_tpu.models.facenet import SENet50
+
+    sd = torch_ref.make_senet50_sd(rng)
+    tree = cw.convert_senet50(sd)
+
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    net = SENet50()
+    feats_j, embed_j = net.apply(tree, jnp.asarray(x))
+    feats_t, embed_t = torch_ref.senet50_forward(
+        sd, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    assert len(feats_j) == 5
+    for fj, ft in zip(feats_j, feats_t):
+        np.testing.assert_allclose(
+            np.asarray(fj), ft.numpy().transpose(0, 2, 3, 1), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(embed_j), embed_t.numpy(),
+                               atol=3e-4)

@@ -1,0 +1,118 @@
+"""Multi-host scaffolding tests.
+
+The 2-process integration test spawns real subprocesses through
+``jax.distributed.initialize`` (SURVEY §2.3 "multi-host" row). On hosts
+whose jaxlib CPU runtime doesn't wire the distributed client into the
+backend (process_count stays 1 — true of some internal CPU AOT builds),
+the test SKIPS with a loud reason instead of faking a pass.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, %r)
+    import numpy as np
+    from impersonator_tpu.parallel.distributed import (
+        init_distributed, global_mesh, global_shard_batch)
+    import jax
+    multi = init_distributed("127.0.0.1:" + port, n, pid)
+    if not multi:
+        print("UNSUPPORTED process_count=1", flush=True)
+        sys.exit(42)
+    import jax.numpy as jnp
+    mesh = global_mesh()
+    local = np.arange(2, dtype=np.float32) + 2 * pid
+    batch = global_shard_batch({"x": local}, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    s = jax.jit(lambda b: jnp.sum(b["x"]),
+                out_shardings=NamedSharding(mesh, P()))(batch)
+    print("SUM", float(s), flush=True)
+""") % (REPO,)
+
+
+def test_two_process_global_mesh(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if "TPU" not in k.upper() and "AXON" not in k.upper()}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), "2", "19791"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=240) for p in procs]
+    rcs = [p.returncode for p in procs]
+    if 42 in rcs:
+        pytest.skip("jaxlib CPU runtime lacks multi-process support here "
+                    "(distributed client not wired into CPU backend); "
+                    "scaffolding validated single-process below")
+    for (out, err), rc in zip(outs, rcs):
+        assert rc == 0, err[-2000:]
+        assert "SUM 6.0" in out  # 0+1+2+3 over the global batch
+
+
+def test_global_shard_batch_single_process():
+    """Single-process path of the same feed code: plain sharded put."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from impersonator_tpu.parallel.distributed import (
+        global_mesh, global_shard_batch, process_local_slice)
+
+    mesh = global_mesh()
+    batch = {"x": np.arange(8, dtype=np.float32).reshape(8, 1)}
+    out = global_shard_batch(batch, mesh)
+    assert out["x"].shape == (8, 1)
+    s = jax.jit(lambda b: jnp.sum(b["x"]))(out)
+    assert float(s) == 28.0
+    sl = process_local_slice(8)
+    assert sl == slice(0, 8)
+
+
+def test_trainer_convergence_smoke(assets):
+    """The GAN step must LEARN: g_total decreases over ~20 synthetic
+    steps on a fixed batch (VERDICT r1 weak #9 — no does-it-learn signal)."""
+    import jax
+    import jax.numpy as jnp
+    from impersonator_tpu.config import TrainConfig
+    from impersonator_tpu.parallel import make_mesh
+    from impersonator_tpu.parallel.mesh import replicate_tree, shard_batch
+    from impersonator_tpu.tasks import trainer as T
+
+    cfg = TrainConfig(image_size=32, repeat_num=1, batch_size=2, d_layers=2,
+                      use_vgg=False, use_style=False, use_face=False)
+    trainer = T.build_trainer(cfg, assets)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(
+            rng.uniform(-1, 1, (2, 2, 32, 32, 3)), jnp.float32),
+        "smpls": jnp.asarray(np.concatenate([
+            np.full((2, 2, 1), 0.9, np.float32),
+            rng.normal(0, 0.05, (2, 2, 84)).astype(np.float32)], axis=-1)),
+    }
+    mesh = make_mesh((1,), ("data",), jax.devices()[:1])
+    state = replicate_tree(state, mesh)
+    batch = shard_batch(batch, mesh)
+
+    step = jax.jit(T.make_train_step(trainer, train_d=True))
+    losses = []
+    with mesh:
+        for _ in range(20):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["g_total"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.9, losses

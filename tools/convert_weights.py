@@ -286,6 +286,44 @@ def convert_sphere(sd) -> dict:
     return {"params": params}
 
 
+def convert_senet50(sd) -> dict:
+    """VGGFace2 senet50 checkpoint (reference networks/facenet.py:193-197,
+    weights senet50_ft / senet50_scratch) -> models.facenet.SENet50
+    {'params','batch_stats'} (include_top fc dropped)."""
+    sd = _strip_module(sd)
+    params, stats = {}, {}
+
+    def bn(src, dst):
+        _set(params, dst + "/scale", _np(sd[src + ".weight"]))
+        _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+        _set(stats, dst + "/mean", _np(sd[src + ".running_mean"]))
+        _set(stats, dst + "/var", _np(sd[src + ".running_var"]))
+
+    def conv(src, dst, bias=False):
+        _set(params, dst + "/kernel", conv_w(sd[src + ".weight"]))
+        if bias:
+            _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+
+    conv("conv1", "conv1")
+    bn("bn1", "bn1")
+    inplanes = 64
+    for li, nb in enumerate((3, 4, 6, 3), start=1):
+        planes = (64, 128, 256, 512)[li - 1]
+        for bi in range(nb):
+            src = f"layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            for k in (1, 2, 3):
+                conv(f"{src}.conv{k}", f"{dst}/conv{k}")
+                bn(f"{src}.bn{k}", f"{dst}/bn{k}")
+            conv(f"{src}.conv4", f"{dst}/conv4", bias=True)
+            conv(f"{src}.conv5", f"{dst}/conv5", bias=True)
+            if bi == 0 and (li != 1 or inplanes != planes * 4):
+                conv(f"{src}.downsample.0", f"{dst}/downsample_conv")
+                bn(f"{src}.downsample.1", f"{dst}/downsample_bn")
+        inplanes = planes * 4
+    return {"params": params, "batch_stats": stats}
+
+
 # --------------------------------------------------------------------------
 # Metric zoo: LPIPS (alexnet + lin heads) and InceptionV3
 # --------------------------------------------------------------------------
@@ -350,6 +388,7 @@ CONVERTERS = {
     "bgnet": convert_bgnet,
     "vgg19": convert_vgg19,
     "sphere": convert_sphere,
+    "senet50": convert_senet50,
     "alexnet": convert_alexnet,
     "lpips": convert_lpips,
     "inception": convert_inception,
@@ -370,6 +409,14 @@ def main():
     from flax import serialization
 
     def load(p):
+        if p.endswith(".pkl"):
+            # the senet50 release is a pickle of numpy arrays keyed like a
+            # state_dict (reference networks.py:372-385 load_senet_model)
+            import pickle
+            with open(p, "rb") as f:
+                raw = pickle.load(f, encoding="latin1")
+            return {k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in raw.items() if not k.startswith("fc")}
         sd = torch.load(p, map_location="cpu")
         return sd.state_dict() if hasattr(sd, "state_dict") else sd
 
