@@ -102,11 +102,11 @@ def main():
              for k, v in imit.renderer.tile_stats(fv).items()}
     raster_parity = None
     if jax.default_backend() == "tpu":
+        # production bucket kernel vs the XLA fixed-slot reference path
         fa, wa = rast.rasterize_fim_wim_tiled(
             fv, cfg.image_size, tile=tile, cap=cap, span=span, backend="xla")
-        fb, wb = rast.rasterize_fim_wim_tiled(
-            fv, cfg.image_size, tile=tile, cap=cap, span=span,
-            backend="pallas")
+        fb, wb = rast.rasterize_fim_wim_bucket(
+            fv, cfg.image_size, tile=tile, span=span, txb=4)
         raster_parity = {
             "fim_match": float((np.asarray(fa) == np.asarray(fb)).mean()),
             "wim_max_abs_diff": float(
@@ -125,9 +125,13 @@ def main():
 
     smpl_fn = jax.jit(lambda t: smpl_ops.get_details(
         imit.smpl_params, t, imit.parents)["verts"])
-    rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
-        f, cfg.image_size, tile=tile, cap=cap, span=span,
-        backend=("pallas" if jax.default_backend() == "tpu" else "xla")))
+    if jax.default_backend() == "tpu":
+        rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_bucket(
+            f, cfg.image_size, tile=tile, span=span, txb=4))
+    else:
+        rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
+            f, cfg.image_size, tile=tile, cap=cap, span=span,
+            backend="xla"))
     tb = jnp.asarray(thetas[:batch])
     breakdown_ms = {
         "smpl": round(timeit(smpl_fn, tb) * 1e3, 2),

@@ -71,16 +71,25 @@ class SMPLRenderer:
         s = self.image_size
         nf = self.faces.shape[0]
         tile, cap, span = self.tile_params()
-        if tile and nf > 256:
+        if tile and nf > 256 and jax.default_backend() == "tpu" \
+                and nf <= 60000:
+            # Production TPU path: bucket-sorted work-efficient kernel
+            # (ops/pallas_raster.zbuffer_bucket_rows; 8.9x the fixed-slot
+            # pipeline at 256²). txb tiles share a program; tpb ≤ 512
+            # keeps the kernel inside VMEM at any tile side. nf bound:
+            # the sorted face table must stay VMEM-resident.
+            txb = max(1, min(4, 512 // (tile * tile)))
+            fim, wim = rast.rasterize_fim_wim_bucket(
+                f2verts, s, self.near, self.far, tile=tile, span=span,
+                txb=txb)
+        elif tile and nf > 256:
             # The tile side scales with resolution so per-tile face
             # occupancy is resolution-invariant (8px at 256² — measured
             # max 270 < cap 288 — 16px at 512², ...); tile_stats()
-            # verifies headroom for any new geometry regime. The z-buffer
-            # stage runs as a Pallas kernel on TPU (ops/pallas_raster.py).
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # verifies headroom for any new geometry regime.
             fim, wim = rast.rasterize_fim_wim_tiled(
                 f2verts, s, self.near, self.far, tile=tile,
-                cap=min(cap, nf), span=span, backend=backend)
+                cap=min(cap, nf), span=span, backend="xla")
         else:
             fim, wim = rast.rasterize_fim_wim(
                 f2verts, s, self.near, self.far)

@@ -269,3 +269,62 @@ def test_tile_stats_production_headroom(assets):
                  fv_close, 256, tile=8, cap=16, ex=2).items()}
     assert stats["oversized_faces"] > 0
     assert (stats["dropped_pairs"] > 0 or stats["oversized_dropped"] > 0)
+
+
+def test_bucket_matches_brute_body(assets):
+    """Production bucket path (interpret mode) vs brute on a body at 64²
+    — incl. weights and background."""
+    fv = _smpl_face_verts(assets)
+    s = 64
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s, chunk=138)
+    fim_b, wim_b = rast.rasterize_fim_wim_bucket(fv, s, tile=8, span=4,
+                                                 txb=4, interpret=True)
+    assert (np.asarray(fim_a) == np.asarray(fim_b)).all()
+    np.testing.assert_allclose(np.asarray(wim_a), np.asarray(wim_b),
+                               atol=2e-4)
+    assert (np.asarray(fim_b) >= 0).sum() > 100
+
+
+def test_bucket_matches_brute_random_and_oversized():
+    """Random scatter + one huge oversized triangle (EX bucket) + an
+    empty scene; txb window spanning multiple tiles."""
+    rng = np.random.default_rng(33)
+    nf = 300
+    centers = rng.uniform(-0.9, 0.9, (1, nf, 1, 2))
+    offsets = rng.uniform(-0.2, 0.2, (1, nf, 3, 2))
+    z = rng.uniform(1.5, 3.0, (1, nf, 3, 1))
+    fv = np.concatenate([centers + offsets, z], axis=-1).astype(np.float32)
+    # face 0: an oversized triangle covering most of the screen, closest
+    fv[0, 0, :, :2] = [[-0.95, -0.95], [0.95, -0.9], [0.0, 0.95]]
+    fv[0, 0, :, 2] = 1.2
+    fv = jnp.asarray(fv)
+    s = 64
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s, chunk=100)
+    fim_b, wim_b = rast.rasterize_fim_wim_bucket(fv, s, tile=8, span=3,
+                                                 txb=2, interpret=True)
+    fim_a, fim_b = np.asarray(fim_a), np.asarray(fim_b)
+    assert (fim_a == fim_b).mean() > 0.9999   # shared-edge fp ties only
+    agree = fim_a == fim_b
+    np.testing.assert_allclose(np.asarray(wim_a)[agree],
+                               np.asarray(wim_b)[agree], atol=2e-4)
+    assert (fim_b == 0).sum() > 100           # the EX face won somewhere
+
+    # empty scene: all faces behind far
+    fv_far = jnp.asarray(np.concatenate(
+        [np.asarray(fv)[..., :2], np.full((1, nf, 3, 1), 30.0, np.float32)],
+        axis=-1))
+    fim_e, _ = rast.rasterize_fim_wim_bucket(fv_far, s, tile=8, span=3,
+                                             txb=2, interpret=True)
+    assert (np.asarray(fim_e) == -1).all()
+
+
+def test_bucket_512_tile16(assets):
+    """512² with the production tile scaling (16px tiles, txb=2)."""
+    fv = _smpl_face_verts(assets)
+    s = 512
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s, chunk=138)
+    fim_b, wim_b = rast.rasterize_fim_wim_bucket(fv, s, tile=16, span=3,
+                                                 txb=2, interpret=True)
+    assert (np.asarray(fim_a) == np.asarray(fim_b)).all()
+    np.testing.assert_allclose(np.asarray(wim_a), np.asarray(wim_b),
+                               atol=2e-4)
