@@ -285,3 +285,38 @@ def test_render_textured_roundtrip(assets):
     assert np.median(err) < 0.08, float(np.median(err))
     # background stays zero
     assert np.abs(out[0][~mask]).max() == 0.0
+
+
+def test_save_obj_with_texture_atlas(tmp_path, assets):
+    """OBJ/MTL/PNG export of an extracted texture (reference
+    neural_renderer/save_obj.py create_texture_image path)."""
+    import jax.numpy as jnp
+    from impersonator_tpu.ops import smpl as smpl_ops
+    from impersonator_tpu.tasks.renderer import SMPLRenderer
+    from impersonator_tpu.utils import mesh_io
+
+    r = SMPLRenderer.create(assets, image_size=32, tex_size=3)
+    params = smpl_ops.SMPLParams.from_assets(assets)
+    theta = np.zeros((1, 85), np.float32)
+    theta[:, 0] = 0.9
+    info = smpl_ops.get_details(params, jnp.asarray(theta), assets.parents)
+    img = jnp.ones((1, 32, 32, 3)) * 0.25
+    tex = np.asarray(r.extract_texture(img, info["cam"], info["verts"]))[0]
+
+    out = str(tmp_path / "body.obj")
+    mesh_io.save_obj(out, np.asarray(info["verts"][0]),
+                     np.asarray(params.faces), textures=tex,
+                     texture_size_out=4)
+    assert os.path.exists(out)
+    assert os.path.exists(str(tmp_path / "body.mtl"))
+    assert os.path.exists(str(tmp_path / "body.png"))
+    txt = open(out).read()
+    assert "vt " in txt and "usemtl" in txt and txt.count("\nf ") == \
+        params.faces.shape[0]
+
+    atlas, uv = mesh_io.create_texture_atlas(tex, texture_size_out=4)
+    # constant-color source -> constant atlas tiles where faces exist
+    filled = np.abs(atlas - 0.25) < 1e-4
+    assert filled.mean() > 0.5
+    assert uv.shape == (params.faces.shape[0], 3, 2)
+    assert uv.min() >= 0 and uv.max() <= 1

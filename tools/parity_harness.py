@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--hmr_ckpt", default="")
     ap.add_argument("--smpl_model", default="")
     ap.add_argument("--uv_mapping", default="")
+    ap.add_argument("--lpips_ckpt", default="",
+                    help="converted LPIPS msgpack (tools/convert_weights "
+                         "lpips) — adds the BASELINE.md 'lps' column")
     ap.add_argument("--image_size", type=int, default=256)
     args = ap.parse_args()
 
@@ -62,6 +65,16 @@ def main():
             imitator.nets.hmr_params = serialization.from_bytes(
                 imitator.nets.hmr_params, f.read())
 
+    lpips_fn = None
+    if args.lpips_ckpt:
+        import jax
+        from impersonator_tpu.metrics.zoo import LPIPS
+        with open(args.lpips_ckpt, "rb") as f:
+            from flax.serialization import msgpack_restore
+            tree = msgpack_restore(f.read())
+        model = LPIPS()
+        lpips_fn = jax.jit(lambda a, b: model.apply(tree, a, b))
+
     src = cv_utils.resize_img_hwc(cv_utils.read_img(args.src_path),
                                   cfg.image_size)
     imitator.personalize(src)
@@ -81,11 +94,14 @@ def main():
                                       cfg.image_size)
         a = jnp.asarray(pred)[None]
         b = jnp.asarray(ref)[None]
-        per_frame.append({
+        row = {
             "frame": name,
             "ssim": float(ssim(a, b)),
             "psnr": float(psnr(a, b)),
-        })
+        }
+        if lpips_fn is not None:
+            row["lps"] = float(lpips_fn(a, b)[0])
+        per_frame.append(row)
 
     if not per_frame:
         print(json.dumps({"error": "no matching reference frames"}))
@@ -95,6 +111,8 @@ def main():
         "ssim_mean": float(np.mean([f["ssim"] for f in per_frame])),
         "psnr_mean": float(np.mean([f["psnr"] for f in per_frame])),
     }
+    if lpips_fn is not None:
+        agg["lps_mean"] = float(np.mean([f["lps"] for f in per_frame]))
     print(json.dumps({"aggregate": agg, "per_frame": per_frame}, indent=1))
 
 
