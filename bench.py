@@ -142,6 +142,36 @@ def main():
                 cam_strategy="smooth"), tb) * 1e3, 2),
     }
 
+    # ---- GAN train-step throughput (paper config: 256², batch 4,
+    # rec+vgg+face+mask losses, fused G+D update) ------------------------
+    train_ms = None
+    try:
+        from impersonator_tpu.config import TrainConfig
+        from impersonator_tpu.tasks import trainer as trainer_mod
+
+        tcfg = TrainConfig(image_size=256, batch_size=4, repeat_num=6,
+                           use_vgg=True, use_style=False, use_face=True)
+        tr = trainer_mod.build_trainer(tcfg, assets)
+        tstate = tr.init_state()
+        step = jax.jit(trainer_mod.make_train_step(tr, train_d=True))
+        tthetas = np.zeros((4, 2, 85), np.float32)
+        tthetas[..., 0] = 0.9
+        tthetas[..., 3:75] = rng.normal(0, 0.03, (4, 2, 72))
+        tbatch = {
+            "images": jnp.asarray(
+                rng.uniform(-1, 1, (4, 2, 256, 256, 3)), jnp.float32),
+            "smpls": jnp.asarray(tthetas),
+        }
+        tstate, m = step(tstate, tbatch)
+        jax.block_until_ready(m["g_total"])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            tstate, m = step(tstate, tbatch)
+        jax.block_until_ready(m["g_total"])
+        train_ms = (time.perf_counter() - t0) / 3 * 1e3
+    except Exception as e:
+        print(f"# train-step bench skipped: {e}")
+
     n_chips = jax.device_count()
     result = {
         "metric": "frames/sec/chip at 256x256 motion imitation (HMR + SMPL"
@@ -157,6 +187,10 @@ def main():
         result["fps_e2e_host_io"] = round(fps_e2e / n_chips, 3)
     if raster_parity is not None:
         result["raster_parity"] = raster_parity
+    if train_ms is not None:
+        result["train_step_ms_batch4"] = round(train_ms, 2)
+        result["train_samples_per_sec_chip"] = round(
+            4.0 / (train_ms / 1e3) / n_chips, 2)
     print(json.dumps(result))
 
 

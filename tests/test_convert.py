@@ -108,3 +108,19 @@ def test_senet50_converted_weights_match_torch(rng):
             np.asarray(fj), ft.numpy().transpose(0, 2, 3, 1), atol=3e-4)
     np.testing.assert_allclose(np.asarray(embed_j), embed_t.numpy(),
                                atol=3e-4)
+
+
+def test_osnet_converted_weights_match_torch(rng):
+    """osnet_ibn_x1_0 (reference OSreid/OSNet.py:336) converter parity:
+    the 512-d reid embedding matches the functional-torch oracle."""
+    from impersonator_tpu.metrics.reid import OSNet
+
+    sd = torch_ref.make_osnet_sd(rng)
+    tree = cw.convert_osnet(sd)
+
+    x = rng.standard_normal((1, 64, 32, 3)).astype(np.float32)
+    v_j = OSNet().apply(tree, jnp.asarray(x))
+    v_t = torch_ref.osnet_forward(sd, torch.from_numpy(
+        x.transpose(0, 3, 1, 2)))
+    assert v_j.shape == (1, 512)
+    np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=3e-4)

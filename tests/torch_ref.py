@@ -489,3 +489,128 @@ def senet50_forward(sd, x):
         feats.append(x)
     embed = F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
     return feats, embed
+
+
+# ---------------------------------------------------------------------------
+# osnet_ibn_x1_0 (reference his_evaluators/metrics/OSreid/OSNet.py)
+# ---------------------------------------------------------------------------
+
+_OSNET_CH = (64, 256, 384, 512)
+
+
+def make_osnet_sd(rng):
+    sd = {}
+
+    def t(*shape):
+        scale = (1.0 / np.sqrt(np.prod(shape[1:]))) if len(shape) > 1 else 0.05
+        return torch.from_numpy(
+            (rng.standard_normal(shape) * scale).astype(np.float32))
+
+    def bn(key, c, running=True):
+        sd[f"{key}.weight"] = t(c) + 1.0
+        sd[f"{key}.bias"] = t(c)
+        if running:
+            sd[f"{key}.running_mean"] = t(c)
+            sd[f"{key}.running_var"] = torch.abs(t(c)) + 0.5
+
+    def cbr(key, cin, cout, k, running=True):
+        sd[f"{key}.conv.weight"] = t(cout, cin, k, k)
+        bn(f"{key}.bn", cout, running)
+
+    def light(key, cin, cout):
+        sd[f"{key}.conv1.weight"] = t(cout, cin, 1, 1)
+        sd[f"{key}.conv2.weight"] = t(cout, 1, 3, 3)
+        bn(f"{key}.bn", cout)
+
+    def osblock(key, cin, cout, use_in):
+        mid = cout // 4
+        cbr(f"{key}.conv1", cin, mid, 1)
+        light(f"{key}.conv2a", mid, mid)
+        for si, depth in (("b", 2), ("c", 3), ("d", 4)):
+            for d in range(depth):
+                light(f"{key}.conv2{si}.{d}", mid, mid)
+        sd[f"{key}.gate.fc1.weight"] = t(mid // 16, mid, 1, 1)
+        sd[f"{key}.gate.fc1.bias"] = t(mid // 16)
+        sd[f"{key}.gate.fc2.weight"] = t(mid, mid // 16, 1, 1)
+        sd[f"{key}.gate.fc2.bias"] = t(mid)
+        cbr(f"{key}.conv3", mid, cout, 1)
+        if cin != cout:
+            cbr(f"{key}.downsample", cin, cout, 1)
+        if use_in:
+            bn(f"{key}.IN", cout, running=False)
+
+    c = _OSNET_CH
+    cbr("conv1", 3, c[0], 7, running=False)   # IBN stem: InstanceNorm
+    for stage, cin, cout, use_in, has_t in (
+            (2, c[0], c[1], True, True), (3, c[1], c[2], False, True),
+            (4, c[2], c[3], False, False)):
+        osblock(f"conv{stage}.0", cin, cout, use_in)
+        osblock(f"conv{stage}.1", cout, cout, use_in)
+        if has_t:
+            cbr(f"conv{stage}.2.0", cout, cout, 1)
+    cbr("conv5", c[3], c[3], 1)
+    sd["fc.0.weight"] = t(512, c[3])
+    sd["fc.0.bias"] = t(512)
+    bn("fc.1", 512)
+    return sd
+
+
+def osnet_forward(sd, x):
+    """Eval-mode osnet_ibn_x1_0 embedding (OSNet.py:282-299)."""
+
+    def cbr(key, x, stride=1, padding=0, relu=True):
+        x = _conv(sd, f"{key}.conv", x, stride=stride, padding=padding)
+        if f"{key}.bn.running_mean" in sd:
+            x = _bn_eval(sd, f"{key}.bn", x)
+        else:
+            x = _inorm(sd, f"{key}.bn", x)
+        return F.relu(x) if relu else x
+
+    def light(key, x):
+        x = _conv(sd, f"{key}.conv1", x)
+        w = sd[f"{key}.conv2.weight"]
+        x = F.conv2d(x, w, padding=1, groups=w.shape[0])
+        return F.relu(_bn_eval(sd, f"{key}.bn", x))
+
+    def gate(key, x):
+        g = F.adaptive_avg_pool2d(x, 1)
+        g = F.relu(_conv(sd, f"{key}.fc1", g))
+        g = torch.sigmoid(_conv(sd, f"{key}.fc2", g))
+        return x * g
+
+    def osblock(key, x, use_in):
+        residual = x
+        x1 = cbr(f"{key}.conv1", x)
+        streams = []
+        h = light(f"{key}.conv2a", x1)
+        streams.append(h)
+        for si, depth in (("b", 2), ("c", 3), ("d", 4)):
+            h = x1
+            for d in range(depth):
+                h = light(f"{key}.conv2{si}.{d}", h)
+            streams.append(h)
+        x2 = sum(gate(f"{key}.gate", s) for s in streams)
+        x3 = cbr(f"{key}.conv3", x2, relu=False)
+        if f"{key}.downsample.conv.weight" in sd:
+            residual = cbr(f"{key}.downsample", residual, relu=False)
+        out = x3 + residual
+        if use_in:
+            out = _inorm(sd, f"{key}.IN", out)
+        return F.relu(out)
+
+    x = cbr("conv1", x, stride=2, padding=3)
+    x = F.max_pool2d(x, 3, 2, padding=1)
+    for stage, use_in, has_t in ((2, True, True), (3, False, True),
+                                 (4, False, False)):
+        x = osblock(f"conv{stage}.0", x, use_in)
+        x = osblock(f"conv{stage}.1", x, use_in)
+        if has_t:
+            x = cbr(f"conv{stage}.2.0", x)
+            x = F.avg_pool2d(x, 2, 2)
+    x = cbr("conv5", x)
+    v = F.adaptive_avg_pool2d(x, 1).flatten(1)
+    v = F.linear(v, sd["fc.0.weight"], sd["fc.0.bias"])
+    v = F.batch_norm(v, sd["fc.1.running_mean"], sd["fc.1.running_var"],
+                     sd["fc.1.weight"], sd["fc.1.bias"], training=False,
+                     eps=1e-5)
+    return F.relu(v)

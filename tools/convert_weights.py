@@ -324,6 +324,60 @@ def convert_senet50(sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_osnet(sd) -> dict:
+    """osnet_ibn_x1_0 checkpoint (reference OSreid/OSNet.py:336, weights
+    osnet_ibn_x1_0_imagenet.pth) -> metrics.reid.OSNet
+    {'params','batch_stats'} (classifier head dropped)."""
+    sd = _strip_module(sd)
+    params, stats = {}, {}
+
+    def bn(src, dst):
+        _set(params, dst + "/scale", _np(sd[src + ".weight"]))
+        _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+        if src + ".running_mean" in sd:          # absent for InstanceNorm
+            _set(stats, dst + "/mean", _np(sd[src + ".running_mean"]))
+            _set(stats, dst + "/var", _np(sd[src + ".running_var"]))
+
+    def cbr(src, dst):                           # ConvLayer/Conv1x1(Linear)
+        _set(params, dst + "/conv/kernel", conv_w(sd[src + ".conv.weight"]))
+        bn(src + ".bn", dst + "/bn")
+
+    def light(src, dst):                         # LightConv3x3
+        _set(params, dst + "/conv1/kernel", conv_w(sd[src + ".conv1.weight"]))
+        _set(params, dst + "/conv2/kernel", conv_w(sd[src + ".conv2.weight"]))
+        bn(src + ".bn", dst + "/bn")
+
+    def osblock(src, dst, use_in):
+        cbr(src + ".conv1", dst + "/conv1")
+        light(src + ".conv2a", dst + "/conv2a")
+        for si, depth in (("b", 2), ("c", 3), ("d", 4)):
+            for d in range(depth):
+                light(f"{src}.conv2{si}.{d}", f"{dst}/conv2{si}_{d}")
+        for fc in ("fc1", "fc2"):
+            _set(params, f"{dst}/gate/{fc}/kernel",
+                 conv_w(sd[f"{src}.gate.{fc}.weight"]))
+            _set(params, f"{dst}/gate/{fc}/bias",
+                 _np(sd[f"{src}.gate.{fc}.bias"]))
+        cbr(src + ".conv3", dst + "/conv3")
+        if src + ".downsample.conv.weight" in sd:
+            cbr(src + ".downsample", dst + "/downsample")
+        if use_in:
+            bn(src + ".IN", dst + "/IN")
+
+    cbr("conv1", "conv1")
+    for stage, blocks, use_in, has_t in (
+            (2, 2, True, True), (3, 2, False, True), (4, 2, False, False)):
+        for b in range(blocks):
+            osblock(f"conv{stage}.{b}", f"conv{stage}_{b}", use_in)
+        if has_t:
+            cbr(f"conv{stage}.{blocks}.0", f"conv{stage}_t")
+    cbr("conv5", "conv5")
+    _set(params, "fc/kernel", dense_w(sd["fc.0.weight"]))
+    _set(params, "fc/bias", _np(sd["fc.0.bias"]))
+    bn("fc.1", "fc_bn")
+    return {"params": params, "batch_stats": stats}
+
+
 # --------------------------------------------------------------------------
 # Metric zoo: LPIPS (alexnet + lin heads) and InceptionV3
 # --------------------------------------------------------------------------
@@ -389,6 +443,7 @@ CONVERTERS = {
     "vgg19": convert_vgg19,
     "sphere": convert_sphere,
     "senet50": convert_senet50,
+    "osnet": convert_osnet,
     "alexnet": convert_alexnet,
     "lpips": convert_lpips,
     "inception": convert_inception,
