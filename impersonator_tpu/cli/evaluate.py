@@ -43,7 +43,8 @@ from impersonator_tpu.utils import cv_utils
 TYPES_QUALITIES = {
     "ssim": "higher", "psnr": "higher", "lps": "lower",
     "is": "higher", "fid": "lower", "OS-CS-reid": "higher",
-    "OS-freid": "lower", "face-CS": "higher", "face-FD": "lower",
+    "OS-freid": "lower", "PCB-CS-reid": "higher", "PCB-freid": "lower",
+    "face-CS": "higher", "face-FD": "lower",
     "fd": "lower", "cs": "higher",
 }
 
@@ -55,11 +56,11 @@ def _load_msgpack(path):
 
 
 def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
-                     senet_path=None, osnet_path=None):
+                     senet_path=None, osnet_path=None, pcb_path=None):
     """Instantiate metric extractors from converted weight files; absent
     files skip their metrics (logged). senet50 (VGGFace2) takes priority
     over sphereface for the face embedding when both are given."""
-    lpips_apply = inception_fn = face_fn = reid_fn = None
+    lpips_apply = inception_fn = face_fn = reid_fn = pcb_fn = None
     if lpips_path and os.path.exists(lpips_path):
         from impersonator_tpu.metrics.zoo import LPIPS
         import jax
@@ -93,7 +94,13 @@ def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
     elif osnet_path:
         print(f"evaluate: osnet weights not found at {osnet_path}; "
               "OS-CS-reid/OS-freid will be skipped")
-    return lpips_apply, inception_fn, face_fn, reid_fn
+    if pcb_path and os.path.exists(pcb_path):
+        from impersonator_tpu.metrics.reid import pcb_reid_embed_fn
+        pcb_fn = pcb_reid_embed_fn(_load_msgpack(pcb_path))
+    elif pcb_path:
+        print(f"evaluate: pcb weights not found at {pcb_path}; "
+              "PCB-CS-reid/PCB-freid will be skipped")
+    return lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn
 
 
 def _read_batch(paths, size):
@@ -131,7 +138,7 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
                       num_sources: int = 1,
                       cross_imitation: bool = True,
                       lpips_apply=None, inception_fn=None, face_fn=None,
-                      reid_fn=None,
+                      reid_fn=None, pcb_fn=None,
                       save_preds: bool = False,
                       prior_poses_path: str | None = None) -> dict:
     protocol = build_protocol("iPER", cfg.data_dir, protocol_file,
@@ -144,7 +151,8 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
     paired = PairedMetricRunner(metric_types=pair_types,
                                 lpips_apply=lpips_apply)
     unpaired = UnpairedMetricRunner(inception_fn=inception_fn,
-                                    face_fn=face_fn, reid_fn=reid_fn)
+                                    face_fn=face_fn, reid_fn=reid_fn,
+                                    pcb_fn=pcb_fn)
     per_video = {}
     si_count = ci_count = 0
     si_dir = (os.path.join(cfg.output_dir, "self_imitation")
@@ -238,17 +246,18 @@ def main(argv=None):
     parser.add_argument("--sphere_path", default=None)
     parser.add_argument("--senet_path", default=None)
     parser.add_argument("--osnet_path", default=None)
+    parser.add_argument("--pcb_path", default=None)
     parser.add_argument("--prior_poses", default=None)
     extra, _ = parser.parse_known_args(argv)
 
-    lpips_apply, inception_fn, face_fn, reid_fn = build_extractors(
+    lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn = build_extractors(
         extra.lpips_path, extra.inception_path, extra.sphere_path,
-        extra.senet_path, extra.osnet_path)
+        extra.senet_path, extra.osnet_path, extra.pcb_path)
     results = evaluate_protocol(
         cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
         extra.num_sources, extra.cross_imitation,
-        lpips_apply, inception_fn, face_fn, reid_fn, extra.save_preds,
-        prior_poses_path=extra.prior_poses)
+        lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn,
+        extra.save_preds, prior_poses_path=extra.prior_poses)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     save_results(os.path.join(cfg.output_dir, "results.txt"), results)

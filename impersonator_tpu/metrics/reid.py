@@ -172,3 +172,94 @@ def osnet_reid_embed_fn(tree):
         return model.apply(tree, (x01 - mean) / std)
 
     return fn
+
+
+# --------------------------------------------------------------------------
+# PCB (part-based ResNet50) reid — the reference's second reid metric
+# --------------------------------------------------------------------------
+
+
+class ResBottleneck(nn.Module):
+    """torchvision Bottleneck (BN flavor, stride on conv2)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        st = (self.stride, self.stride)
+        h = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        h = jax.nn.relu(BatchNorm(name="bn1")(h))
+        h = nn.Conv(self.planes, (3, 3), st, padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv2")(h)
+        h = jax.nn.relu(BatchNorm(name="bn2")(h))
+        h = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                    name="conv3")(h)
+        h = BatchNorm(name="bn3")(h)
+        if self.downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1), st,
+                               use_bias=False, name="downsample_conv")(x)
+            residual = BatchNorm(name="downsample_bn")(residual)
+        return jax.nn.relu(h + residual)
+
+
+class PCBReid(nn.Module):
+    """PCB_test (PCBreid/model.py:197-220): torchvision ResNet50 with
+    layer4[0] stride forced to 1, pooled to 6 vertical parts. Returns
+    (B, 6, 2048) raw part features; :func:`pcb_embed` applies the
+    1/sqrt(6) part-L2 normalization + flatten (person_dist.py:138-142).
+    Input: (B, 384, 192, 3) ImageNet-normalized."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    parts: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x = jax.nn.relu(BatchNorm(name="bn1")(x))
+        x = max_pool(x, 3, 2, padding=1)
+        inplanes = 64
+        for li, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers)):
+            # layer4 keeps stride 1 (PCB: removed final downsample)
+            stride = 1 if li in (0, 3) else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or inplanes != planes * 4)
+                x = ResBottleneck(planes, s, down,
+                                  name=f"layer{li + 1}_{b}")(x)
+            inplanes = planes * 4
+        b_, h, w, c = x.shape
+        assert h % self.parts == 0, (h, self.parts)
+        x = x.reshape(b_, self.parts, h // self.parts, w, c)
+        return jnp.mean(x, axis=(2, 3))     # AdaptiveAvgPool2d((6, 1))
+
+
+def pcb_embed(parts: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """(B, 6, 2048) -> (B, 12288): per-part L2 norm scaled by sqrt(6)
+    then flattened in torch's (C, parts) order (person_dist.py:138-142
+    operates on (B, 2048, 6))."""
+    n = jnp.sqrt(jnp.sum(parts * parts, axis=-1, keepdims=True))
+    normed = parts / (n * jnp.sqrt(float(parts.shape[1])) + eps)
+    return normed.transpose(0, 2, 1).reshape(parts.shape[0], -1)
+
+
+def pcb_reid_embed_fn(tree):
+    """Frame-level PCB embedding: 384×192 align-corners resize, ImageNet
+    norm, 6-part features, normalized flatten."""
+    from impersonator_tpu.ops.sampler import resize_bilinear_align
+
+    model = PCBReid()
+
+    @jax.jit
+    def fn(imgs):
+        x = resize_bilinear_align(imgs, 384, 192)
+        x01 = (x + 1.0) * 0.5
+        mean = jnp.asarray(_IMAGENET_MEAN, x01.dtype)
+        std = jnp.asarray(_IMAGENET_STD, x01.dtype)
+        return pcb_embed(model.apply(tree, (x01 - mean) / std))
+
+    return fn

@@ -81,13 +81,15 @@ class UnpairedMetricRunner:
     def __init__(self, inception_fn: Callable | None = None,
                  reid_fn: Callable | None = None,
                  face_fn: Callable | None = None,
-                 embed_fn: Callable | None = None):
+                 embed_fn: Callable | None = None,
+                 pcb_fn: Callable | None = None):
         self.inception_fn = inception_fn
-        self.reid_fn = reid_fn
+        self.reid_fn = reid_fn        # OSNet -> OS-freid / OS-CS-reid
+        self.pcb_fn = pcb_fn          # PCB   -> PCB-freid / PCB-CS-reid
         self.face_fn = face_fn
         self.embed_fn = embed_fn   # generic fallback -> {"fd","cs"}
         self._acc = {k: {"pred": [], "ref": []}
-                     for k in ("inc", "reid", "face", "embed")}
+                     for k in ("inc", "reid", "pcb", "face", "embed")}
         self._probs = []
 
     def update(self, preds, refs=None):
@@ -108,6 +110,8 @@ class UnpairedMetricRunner:
                 self._acc["inc"]["ref"].append(np.asarray(pool_r))
         if self.reid_fn is not None:
             both("reid", self.reid_fn)
+        if self.pcb_fn is not None:
+            both("pcb", self.pcb_fn)
         if self.face_fn is not None:
             both("face", self.face_fn)
         if self.embed_fn is not None:
@@ -130,6 +134,7 @@ class UnpairedMetricRunner:
             out["is"] = inception_score(np.concatenate(self._probs))
         for key, fd_name, cs_name in (("inc", "fid", None),
                                       ("reid", "OS-freid", "OS-CS-reid"),
+                                      ("pcb", "PCB-freid", "PCB-CS-reid"),
                                       ("face", "face-FD", "face-CS"),
                                       ("embed", "fd", "cs")):
             pred, ref = cat(key, "pred"), cat(key, "ref")

@@ -124,3 +124,30 @@ def test_osnet_converted_weights_match_torch(rng):
         x.transpose(0, 3, 1, 2)))
     assert v_j.shape == (1, 512)
     np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=3e-4)
+
+
+def test_pcb_converted_weights_match_torch(rng):
+    """PCB reid (reference PCBreid/model.py PCB_test) converter parity:
+    6-part features + normalized embedding match the torch oracle."""
+    from impersonator_tpu.metrics.reid import PCBReid, pcb_embed
+
+    sd = torch_ref.make_pcb_sd(rng)
+    tree = cw.convert_pcb(sd)
+
+    x = rng.standard_normal((1, 96, 48, 3)).astype(np.float32)
+    parts_j = PCBReid().apply(tree, jnp.asarray(x))
+    parts_t = torch_ref.pcb_forward(sd, torch.from_numpy(
+        x.transpose(0, 3, 1, 2)))
+    assert parts_j.shape == (1, 6, 2048)
+    # 16 blocks of an unnormalized random net reach O(100) magnitudes;
+    # relative tolerance is the meaningful check there
+    np.testing.assert_allclose(np.asarray(parts_j),
+                               parts_t.numpy().transpose(0, 2, 1),
+                               rtol=3e-3, atol=1e-3)
+
+    # embedding normalization parity (person_dist.py:138-142)
+    ff = parts_t
+    fnorm = ff.norm(p=2, dim=1, keepdim=True) * np.sqrt(6)
+    ff_t = (ff / fnorm).reshape(1, -1).numpy()
+    np.testing.assert_allclose(np.asarray(pcb_embed(parts_j)), ff_t,
+                               rtol=3e-3, atol=1e-5)

@@ -614,3 +614,72 @@ def osnet_forward(sd, x):
                      sd["fc.1.weight"], sd["fc.1.bias"], training=False,
                      eps=1e-5)
     return F.relu(v)
+
+
+# ---------------------------------------------------------------------------
+# PCB (torchvision resnet50, layer4 stride 1, 6-part pool)
+# ---------------------------------------------------------------------------
+
+
+def make_pcb_sd(rng):
+    sd = {}
+
+    def t(*shape):
+        scale = (1.0 / np.sqrt(np.prod(shape[1:]))) if len(shape) > 1 else 0.05
+        return torch.from_numpy(
+            (rng.standard_normal(shape) * scale).astype(np.float32))
+
+    def bn(key, c):
+        sd[f"{key}.weight"] = t(c) + 1.0
+        sd[f"{key}.bias"] = t(c)
+        sd[f"{key}.running_mean"] = t(c)
+        sd[f"{key}.running_var"] = torch.abs(t(c)) + 0.5
+
+    sd["model.conv1.weight"] = t(64, 3, 7, 7)
+    bn("model.bn1", 64)
+    inplanes = 64
+    for li, nb in enumerate((3, 4, 6, 3), start=1):
+        planes = (64, 128, 256, 512)[li - 1]
+        for bi in range(nb):
+            p = f"model.layer{li}.{bi}"
+            cin = inplanes if bi == 0 else planes * 4
+            sd[f"{p}.conv1.weight"] = t(planes, cin, 1, 1)
+            bn(f"{p}.bn1", planes)
+            sd[f"{p}.conv2.weight"] = t(planes, planes, 3, 3)
+            bn(f"{p}.bn2", planes)
+            sd[f"{p}.conv3.weight"] = t(planes * 4, planes, 1, 1)
+            bn(f"{p}.bn3", planes * 4)
+            if bi == 0:
+                sd[f"{p}.downsample.0.weight"] = t(planes * 4, cin, 1, 1)
+                bn(f"{p}.downsample.1", planes * 4)
+        inplanes = planes * 4
+    return sd
+
+
+def pcb_forward(sd, x, parts=6):
+    """PCB_test eval forward (model.py:207-220): 6-part features."""
+
+    def bottleneck(p, x, stride):
+        out = F.relu(_bn_eval(sd, f"{p}.bn1", _conv(sd, f"{p}.conv1", x)))
+        out = F.relu(_bn_eval(sd, f"{p}.bn2",
+                              _conv(sd, f"{p}.conv2", out, stride=stride,
+                                    padding=1)))
+        out = _bn_eval(sd, f"{p}.bn3", _conv(sd, f"{p}.conv3", out))
+        if f"{p}.downsample.0.weight" in sd:
+            residual = _bn_eval(sd, f"{p}.downsample.1",
+                                _conv(sd, f"{p}.downsample.0", x,
+                                      stride=stride))
+        else:
+            residual = x
+        return F.relu(out + residual)
+
+    x = F.relu(_bn_eval(sd, "model.bn1",
+                        _conv(sd, "model.conv1", x, stride=2, padding=3)))
+    x = F.max_pool2d(x, 3, 2, padding=1)
+    for li, nb in enumerate((3, 4, 6, 3), start=1):
+        stride = 1 if li in (1, 4) else 2   # PCB: layer4 stride 1
+        for bi in range(nb):
+            x = bottleneck(f"model.layer{li}.{bi}", x,
+                           stride if bi == 0 else 1)
+    x = F.adaptive_avg_pool2d(x, (parts, 1))
+    return x.squeeze(-1)   # (B, 2048, parts)

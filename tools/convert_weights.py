@@ -378,6 +378,39 @@ def convert_osnet(sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_pcb(sd) -> dict:
+    """pcb_net_last.pth (reference PCBreid/model.py PCB; keys under
+    'model.' = torchvision resnet50) -> metrics.reid.PCBReid
+    {'params','batch_stats'} (the 6 training classifiers dropped —
+    PCB_test uses only the backbone)."""
+    sd = {k: v for k, v in _strip_module(sd).items()
+          if k.startswith("model.")}
+    params, stats = {}, {}
+
+    def bn(src, dst):
+        _set(params, dst + "/scale", _np(sd[src + ".weight"]))
+        _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+        _set(stats, dst + "/mean", _np(sd[src + ".running_mean"]))
+        _set(stats, dst + "/var", _np(sd[src + ".running_var"]))
+
+    def conv(src, dst):
+        _set(params, dst + "/kernel", conv_w(sd[src + ".weight"]))
+
+    conv("model.conv1", "conv1")
+    bn("model.bn1", "bn1")
+    for li, nb in enumerate((3, 4, 6, 3), start=1):
+        for bi in range(nb):
+            src = f"model.layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            for k in (1, 2, 3):
+                conv(f"{src}.conv{k}", f"{dst}/conv{k}")
+                bn(f"{src}.bn{k}", f"{dst}/bn{k}")
+            if f"{src}.downsample.0.weight" in sd:
+                conv(f"{src}.downsample.0", f"{dst}/downsample_conv")
+                bn(f"{src}.downsample.1", f"{dst}/downsample_bn")
+    return {"params": params, "batch_stats": stats}
+
+
 # --------------------------------------------------------------------------
 # Metric zoo: LPIPS (alexnet + lin heads) and InceptionV3
 # --------------------------------------------------------------------------
@@ -444,6 +477,7 @@ CONVERTERS = {
     "sphere": convert_sphere,
     "senet50": convert_senet50,
     "osnet": convert_osnet,
+    "pcb": convert_pcb,
     "alexnet": convert_alexnet,
     "lpips": convert_lpips,
     "inception": convert_inception,
