@@ -56,11 +56,19 @@ def _load_msgpack(path):
 
 
 def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
-                     senet_path=None, osnet_path=None, pcb_path=None):
+                     senet_path=None, osnet_path=None, pcb_path=None,
+                     facenet_path=None):
     """Instantiate metric extractors from converted weight files; absent
-    files skip their metrics (logged). senet50 (VGGFace2) takes priority
-    over sphereface for the face embedding when both are given."""
+    files skip their metrics (logged). Face-embedding priority:
+    InceptionResnetV1 (the reference's face-CS/FD net) > senet50 >
+    sphereface."""
     lpips_apply = inception_fn = face_fn = reid_fn = pcb_fn = None
+    if facenet_path and os.path.exists(facenet_path):
+        from impersonator_tpu.metrics.unpaired import facenet_ir_embed_fn
+        face_fn = facenet_ir_embed_fn(_load_msgpack(facenet_path))
+    elif facenet_path:
+        print(f"evaluate: facenet weights not found at {facenet_path}; "
+              "falling back to senet50/sphereface")
     if lpips_path and os.path.exists(lpips_path):
         from impersonator_tpu.metrics.zoo import LPIPS
         import jax
@@ -76,7 +84,7 @@ def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
     elif inception_path:
         print(f"evaluate: inception weights not found at {inception_path}; "
               "is/fid will be skipped")
-    if senet_path and os.path.exists(senet_path):
+    if face_fn is None and senet_path and os.path.exists(senet_path):
         from impersonator_tpu.metrics.unpaired import senet_face_embed_fn
         face_fn = senet_face_embed_fn(_load_msgpack(senet_path))
     elif senet_path:
@@ -247,12 +255,16 @@ def main(argv=None):
     parser.add_argument("--senet_path", default=None)
     parser.add_argument("--osnet_path", default=None)
     parser.add_argument("--pcb_path", default=None)
+    parser.add_argument("--facenet_path", default=None,
+                        help="converted InceptionResnetV1 (vggface2) "
+                             "msgpack - the reference's face-CS/FD net")
     parser.add_argument("--prior_poses", default=None)
     extra, _ = parser.parse_known_args(argv)
 
     lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn = build_extractors(
         extra.lpips_path, extra.inception_path, extra.sphere_path,
-        extra.senet_path, extra.osnet_path, extra.pcb_path)
+        extra.senet_path, extra.osnet_path, extra.pcb_path,
+        extra.facenet_path)
     results = evaluate_protocol(
         cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
         extra.num_sources, extra.cross_imitation,

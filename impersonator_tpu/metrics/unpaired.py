@@ -180,6 +180,32 @@ def inception_embed_fn(params):
     return fn
 
 
+def facenet_ir_embed_fn(tree):
+    """Face-identity embedding from InceptionResnetV1 — the embedder the
+    reference actually uses for face-CS/face-FD (metrics.py:279,990,
+    normalize=False). The reference crops faces with MTCNN; here frames
+    resize to the 160² recognition size directly (pass bboxes from the
+    SMPL head keypoints via losses.head_bbox_from_kps +
+    crop_resize_fractional for crop-faithful scores — no detector net
+    is needed when the pose is known)."""
+    from impersonator_tpu.metrics.zoo import InceptionResnetV1
+    from impersonator_tpu.ops.sampler import resize_bilinear_torch
+
+    model = InceptionResnetV1()
+
+    @jax.jit
+    def fn(imgs, bboxes=None):
+        if bboxes is not None:
+            from impersonator_tpu.models.losses import (
+                crop_resize_fractional)
+            x = crop_resize_fractional(imgs, bboxes, 160, 160)
+        else:
+            x = resize_bilinear_torch(imgs, 160, 160)
+        return model.apply(tree, x)
+
+    return fn
+
+
 def senet_face_embed_fn(tree):
     """Face-identity embedding from the VGGFace2 SENet50 (2048-d pooled
     top feature) on 224² resized frames — the reference's higher-capacity

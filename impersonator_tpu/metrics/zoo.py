@@ -233,3 +233,124 @@ class InceptionV3(nn.Module):
         pool = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
         logits = nn.Dense(1000, name="fc")(pool)
         return pool, logits
+
+
+# --------------------------------------------------------------------------
+# InceptionResnetV1 (facenet-pytorch) — the reference's face-recognition
+# embedder for face-CS / face-FD
+# --------------------------------------------------------------------------
+# Mirrors thirdparty/his_evaluators/.../facenet_pytorch/models/
+# inception_resnet_v1.py:9-303 (vggface2 weights, classify=False). The
+# evaluator embeds MTCNN-cropped 160² faces with normalize=False
+# (metrics.py:990); here crops come from the SMPL-derived head bbox the
+# pipeline already knows (models/losses.head_bbox_from_kps) — no face
+# detector net is needed on TPU.
+
+
+class _IRBranch(nn.Module):
+    """Sequential BasicConv2d chain (kernel, stride, padding) specs."""
+
+    specs: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (ch, k, s, p) in enumerate(self.specs):
+            x = BasicConv2d(ch, k, s, p, name=str(i))(x)
+        return x
+
+
+class IRBlock35(nn.Module):
+    """Block35 (inception_resnet_v1.py:33-64), residual scale 0.17."""
+
+    scale: float = 0.17
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = BasicConv2d(32, (1, 1), name="branch0")(x)
+        b1 = _IRBranch(((32, (1, 1), 1, _p(0, 0)),
+                        (32, (3, 3), 1, _p(1, 1))), name="branch1")(x)
+        b2 = _IRBranch(((32, (1, 1), 1, _p(0, 0)),
+                        (32, (3, 3), 1, _p(1, 1)),
+                        (32, (3, 3), 1, _p(1, 1))), name="branch2")(x)
+        out = jnp.concatenate([b0, b1, b2], axis=-1)
+        out = nn.Conv(256, (1, 1), name="conv2d")(out)
+        return jax.nn.relu(out * self.scale + x)
+
+
+class IRBlock17(nn.Module):
+    scale: float = 0.10
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = BasicConv2d(128, (1, 1), name="branch0")(x)
+        b1 = _IRBranch(((128, (1, 1), 1, _p(0, 0)),
+                        (128, (1, 7), 1, _p(0, 3)),
+                        (128, (7, 1), 1, _p(3, 0))), name="branch1")(x)
+        out = jnp.concatenate([b0, b1], axis=-1)
+        out = nn.Conv(896, (1, 1), name="conv2d")(out)
+        return jax.nn.relu(out * self.scale + x)
+
+
+class IRBlock8(nn.Module):
+    scale: float = 0.20
+    no_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = BasicConv2d(192, (1, 1), name="branch0")(x)
+        b1 = _IRBranch(((192, (1, 1), 1, _p(0, 0)),
+                        (192, (1, 3), 1, _p(0, 1)),
+                        (192, (3, 1), 1, _p(1, 0))), name="branch1")(x)
+        out = jnp.concatenate([b0, b1], axis=-1)
+        out = nn.Conv(1792, (1, 1), name="conv2d")(out)
+        out = out * self.scale + x
+        return out if self.no_relu else jax.nn.relu(out)
+
+
+class InceptionResnetV1(nn.Module):
+    """Returns raw 512-d embeddings (last_bn output, normalize=False —
+    the evaluator's call convention, metrics.py:990). Input: (B, 160,
+    160, 3) standardized faces in [-1, 1]."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = BasicConv2d(32, (3, 3), 2, name="conv2d_1a")(x)
+        x = BasicConv2d(32, (3, 3), name="conv2d_2a")(x)
+        x = BasicConv2d(64, (3, 3), padding=_p(1, 1), name="conv2d_2b")(x)
+        x = max_pool(x, 3, 2)
+        x = BasicConv2d(80, (1, 1), name="conv2d_3b")(x)
+        x = BasicConv2d(192, (3, 3), name="conv2d_4a")(x)
+        x = BasicConv2d(256, (3, 3), 2, name="conv2d_4b")(x)
+        for i in range(5):
+            x = IRBlock35(name=f"repeat_1_{i}")(x)
+        # Mixed_6a
+        b0 = BasicConv2d(384, (3, 3), 2, name="mixed_6a_branch0")(x)
+        b1 = _IRBranch(((192, (1, 1), 1, _p(0, 0)),
+                        (192, (3, 3), 1, _p(1, 1)),
+                        (256, (3, 3), 2, _p(0, 0))),
+                       name="mixed_6a_branch1")(x)
+        x = jnp.concatenate([b0, b1, max_pool(x, 3, 2)], axis=-1)
+        for i in range(10):
+            x = IRBlock17(name=f"repeat_2_{i}")(x)
+        # Mixed_7a
+        b0 = _IRBranch(((256, (1, 1), 1, _p(0, 0)),
+                        (384, (3, 3), 2, _p(0, 0))),
+                       name="mixed_7a_branch0")(x)
+        b1 = _IRBranch(((256, (1, 1), 1, _p(0, 0)),
+                        (256, (3, 3), 2, _p(0, 0))),
+                       name="mixed_7a_branch1")(x)
+        b2 = _IRBranch(((256, (1, 1), 1, _p(0, 0)),
+                        (256, (3, 3), 1, _p(1, 1)),
+                        (256, (3, 3), 2, _p(0, 0))),
+                       name="mixed_7a_branch2")(x)
+        x = jnp.concatenate([b0, b1, b2, max_pool(x, 3, 2)], axis=-1)
+        for i in range(5):
+            x = IRBlock8(name=f"repeat_3_{i}")(x)
+        # final Block8: noReLU AND unit scale (torch default, :252)
+        x = IRBlock8(scale=1.0, no_relu=True, name="block8")(x)
+        v = jnp.mean(x, axis=(1, 2))
+        v = nn.Dense(512, use_bias=False, name="last_linear")(v)
+        # BatchNorm1d eps 1e-3 on (B, 512)
+        from impersonator_tpu.models.layers import BatchNorm as _BN
+        v = _BN(eps=1e-3, name="last_bn")(v[:, None, None, :])[:, 0, 0, :]
+        return v

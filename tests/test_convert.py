@@ -151,3 +151,20 @@ def test_pcb_converted_weights_match_torch(rng):
     ff_t = (ff / fnorm).reshape(1, -1).numpy()
     np.testing.assert_allclose(np.asarray(pcb_embed(parts_j)), ff_t,
                                rtol=3e-3, atol=1e-5)
+
+
+def test_facenet_ir_converted_weights_match_torch(rng):
+    """InceptionResnetV1 (facenet-pytorch, the reference's face-CS/FD
+    embedder) converter parity, normalize=False contract."""
+    from impersonator_tpu.metrics.zoo import InceptionResnetV1
+
+    sd = torch_ref.make_facenet_ir_sd(rng)
+    tree = cw.convert_facenet_ir(sd)
+
+    x = rng.standard_normal((1, 160, 160, 3)).astype(np.float32)
+    v_j = InceptionResnetV1().apply(tree, jnp.asarray(x))
+    v_t = torch_ref.facenet_ir_forward(sd, torch.from_numpy(
+        x.transpose(0, 3, 1, 2)))
+    assert v_j.shape == (1, 512)
+    np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(),
+                               rtol=3e-3, atol=5e-4)

@@ -683,3 +683,129 @@ def pcb_forward(sd, x, parts=6):
                            stride if bi == 0 else 1)
     x = F.adaptive_avg_pool2d(x, (parts, 1))
     return x.squeeze(-1)   # (B, 2048, parts)
+
+
+# ---------------------------------------------------------------------------
+# InceptionResnetV1 (facenet-pytorch, vggface2 layout)
+# ---------------------------------------------------------------------------
+
+
+def make_facenet_ir_sd(rng):
+    sd = {}
+
+    def t(*shape):
+        scale = (1.0 / np.sqrt(np.prod(shape[1:]))) if len(shape) > 1 else 0.05
+        return torch.from_numpy(
+            (rng.standard_normal(shape) * scale).astype(np.float32))
+
+    def bn(key, c):
+        sd[f"{key}.weight"] = t(c) + 1.0
+        sd[f"{key}.bias"] = t(c)
+        sd[f"{key}.running_mean"] = t(c)
+        sd[f"{key}.running_var"] = torch.abs(t(c)) + 0.5
+
+    def basic(key, cin, cout, k):
+        kh, kw = (k, k) if isinstance(k, int) else k
+        sd[f"{key}.conv.weight"] = t(cout, cin, kh, kw)
+        bn(f"{key}.bn", cout)
+
+    def seq(key, specs):
+        for i, (cin, cout, k) in enumerate(specs):
+            basic(f"{key}.{i}", cin, cout, k)
+
+    basic("conv2d_1a", 3, 32, 3)
+    basic("conv2d_2a", 32, 32, 3)
+    basic("conv2d_2b", 32, 64, 3)
+    basic("conv2d_3b", 64, 80, 1)
+    basic("conv2d_4a", 80, 192, 3)
+    basic("conv2d_4b", 192, 256, 3)
+    for i in range(5):   # Block35
+        p = f"repeat_1.{i}"
+        basic(f"{p}.branch0", 256, 32, 1)
+        seq(f"{p}.branch1", [(256, 32, 1), (32, 32, 3)])
+        seq(f"{p}.branch2", [(256, 32, 1), (32, 32, 3), (32, 32, 3)])
+        sd[f"{p}.conv2d.weight"] = t(256, 96, 1, 1)
+        sd[f"{p}.conv2d.bias"] = t(256)
+    basic("mixed_6a.branch0", 256, 384, 3)
+    seq("mixed_6a.branch1", [(256, 192, 1), (192, 192, 3), (192, 256, 3)])
+    for i in range(10):  # Block17
+        p = f"repeat_2.{i}"
+        basic(f"{p}.branch0", 896, 128, 1)
+        seq(f"{p}.branch1", [(896, 128, 1), (128, 128, (1, 7)),
+                             (128, 128, (7, 1))])
+        sd[f"{p}.conv2d.weight"] = t(896, 256, 1, 1)
+        sd[f"{p}.conv2d.bias"] = t(896)
+    seq("mixed_7a.branch0", [(896, 256, 1), (256, 384, 3)])
+    seq("mixed_7a.branch1", [(896, 256, 1), (256, 256, 3)])
+    seq("mixed_7a.branch2", [(896, 256, 1), (256, 256, 3), (256, 256, 3)])
+    for i in range(6):   # 5x Block8 + final block8
+        p = f"repeat_3.{i}" if i < 5 else "block8"
+        basic(f"{p}.branch0", 1792, 192, 1)
+        seq(f"{p}.branch1", [(1792, 192, 1), (192, 192, (1, 3)),
+                             (192, 192, (3, 1))])
+        sd[f"{p}.conv2d.weight"] = t(1792, 384, 1, 1)
+        sd[f"{p}.conv2d.bias"] = t(1792)
+    sd["last_linear.weight"] = t(512, 1792)
+    bn("last_bn", 512)
+    return sd
+
+
+def facenet_ir_forward(sd, x):
+    """Eval InceptionResnetV1 embedding, normalize=False
+    (inception_resnet_v1.py:271-302)."""
+    EPS = 1e-3
+
+    def bn_eval(key, x):
+        return F.batch_norm(x, sd[f"{key}.running_mean"],
+                            sd[f"{key}.running_var"], sd[f"{key}.weight"],
+                            sd[f"{key}.bias"], training=False, eps=EPS)
+
+    def basic(key, x, stride=1, padding=0):
+        return F.relu(bn_eval(f"{key}.bn",
+                              _conv(sd, f"{key}.conv", x, stride=stride,
+                                    padding=padding)))
+
+    def seq(key, x, specs):
+        for i, (stride, padding) in enumerate(specs):
+            x = basic(f"{key}.{i}", x, stride, padding)
+        return x
+
+    def resblock(key, x, branches, scale, relu=True):
+        outs = [basic(f"{key}.branch0", x)]
+        for bi, specs in enumerate(branches, start=1):
+            outs.append(seq(f"{key}.branch{bi}", x, specs))
+        out = _conv(sd, f"{key}.conv2d", torch.cat(outs, 1))
+        out = out * scale + x
+        return F.relu(out) if relu else out
+
+    B35 = ([(1, 0), (1, 1)], [(1, 0), (1, 1), (1, 1)])
+    B17 = ([(1, 0), (1, (0, 3)), (1, (3, 0))],)
+    B8 = ([(1, 0), (1, (0, 1)), (1, (1, 0))],)
+
+    x = basic("conv2d_1a", x, 2)
+    x = basic("conv2d_2a", x)
+    x = basic("conv2d_2b", x, 1, 1)
+    x = F.max_pool2d(x, 3, 2)
+    x = basic("conv2d_3b", x)
+    x = basic("conv2d_4a", x)
+    x = basic("conv2d_4b", x, 2)
+    for i in range(5):
+        x = resblock(f"repeat_1.{i}", x, B35, 0.17)
+    x = torch.cat([basic("mixed_6a.branch0", x, 2),
+                   seq("mixed_6a.branch1", x, [(1, 0), (1, 1), (2, 0)]),
+                   F.max_pool2d(x, 3, 2)], 1)
+    for i in range(10):
+        x = resblock(f"repeat_2.{i}", x, B17, 0.10)
+    x = torch.cat([seq("mixed_7a.branch0", x, [(1, 0), (2, 0)]),
+                   seq("mixed_7a.branch1", x, [(1, 0), (2, 0)]),
+                   seq("mixed_7a.branch2", x, [(1, 0), (1, 1), (2, 0)]),
+                   F.max_pool2d(x, 3, 2)], 1)
+    for i in range(5):
+        x = resblock(f"repeat_3.{i}", x, B8, 0.20)
+    x = resblock("block8", x, B8, 1.0, relu=False)
+    v = F.adaptive_avg_pool2d(x, 1).flatten(1)
+    v = F.linear(v, sd["last_linear.weight"])
+    v = F.batch_norm(v, sd["last_bn.running_mean"],
+                     sd["last_bn.running_var"], sd["last_bn.weight"],
+                     sd["last_bn.bias"], training=False, eps=EPS)
+    return v

@@ -469,6 +469,56 @@ def convert_inception(sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_facenet_ir(sd) -> dict:
+    """facenet-pytorch InceptionResnetV1 vggface2 checkpoint ->
+    metrics.zoo.InceptionResnetV1 {'params','batch_stats'} (logits head
+    dropped; classify=False contract)."""
+    sd = _strip_module(sd)
+    params, stats = {}, {}
+
+    def bn(src, dst):
+        _set(params, dst + "/scale", _np(sd[src + ".weight"]))
+        _set(params, dst + "/bias", _np(sd[src + ".bias"]))
+        _set(stats, dst + "/mean", _np(sd[src + ".running_mean"]))
+        _set(stats, dst + "/var", _np(sd[src + ".running_var"]))
+
+    def basic(src, dst):
+        _set(params, dst + "/conv/kernel", conv_w(sd[src + ".conv.weight"]))
+        bn(src + ".bn", dst + "/bn")
+
+    def branch(src, dst, n):
+        for i in range(n):
+            basic(f"{src}.{i}", f"{dst}/{i}")
+
+    for name in ("conv2d_1a", "conv2d_2a", "conv2d_2b", "conv2d_3b",
+                 "conv2d_4a", "conv2d_4b"):
+        basic(name, name)
+
+    def resblock(src, dst, branches):
+        basic(f"{src}.branch0", f"{dst}/branch0")
+        for bi, n in enumerate(branches, start=1):
+            branch(f"{src}.branch{bi}", f"{dst}/branch{bi}", n)
+        _set(params, f"{dst}/conv2d/kernel",
+             conv_w(sd[f"{src}.conv2d.weight"]))
+        _set(params, f"{dst}/conv2d/bias", _np(sd[f"{src}.conv2d.bias"]))
+
+    for i in range(5):
+        resblock(f"repeat_1.{i}", f"repeat_1_{i}", (2, 3))  # Block35
+    basic("mixed_6a.branch0", "mixed_6a_branch0")
+    branch("mixed_6a.branch1", "mixed_6a_branch1", 3)
+    for i in range(10):
+        resblock(f"repeat_2.{i}", f"repeat_2_{i}", (3,))    # Block17
+    branch("mixed_7a.branch0", "mixed_7a_branch0", 2)
+    branch("mixed_7a.branch1", "mixed_7a_branch1", 2)
+    branch("mixed_7a.branch2", "mixed_7a_branch2", 3)
+    for i in range(5):
+        resblock(f"repeat_3.{i}", f"repeat_3_{i}", (3,))    # Block8
+    resblock("block8", "block8", (3,))
+    _set(params, "last_linear/kernel", dense_w(sd["last_linear.weight"]))
+    bn("last_bn", "last_bn")
+    return {"params": params, "batch_stats": stats}
+
+
 CONVERTERS = {
     "hmr": convert_hmr,
     "gen": convert_generator,
@@ -478,6 +528,7 @@ CONVERTERS = {
     "senet50": convert_senet50,
     "osnet": convert_osnet,
     "pcb": convert_pcb,
+    "facenet_ir": convert_facenet_ir,
     "alexnet": convert_alexnet,
     "lpips": convert_lpips,
     "inception": convert_inception,
