@@ -98,11 +98,30 @@ def _rigid_chain(rots: jax.Array, joints: jax.Array, parents: np.ndarray):
             jnp.array([0.0, 0.0, 0.0, 1.0], dtype), (n, 1, 4))
         return jnp.concatenate([top, bottom], axis=-2)
 
-    results = [make_mat(rots[:, 0], joints[:, 0])]
+    # Compose by tree DEPTH LEVEL: joints at the same depth multiply
+    # their parents' results in ONE batched (N, k, 4, 4) matmul, so the
+    # sequential critical path is the tree depth (7 for SMPL), not the
+    # 23-step per-joint chain — tiny-matmul launch latency dominated the
+    # old unroll on TPU.
+    parents = np.asarray(parents)
+    depth = np.zeros(NUM_JOINTS, np.int64)
     for i in range(1, NUM_JOINTS):
-        p = int(parents[i])
-        bone = joints[:, i] - joints[:, p]
-        results.append(jnp.matmul(results[p], make_mat(rots[:, i], bone), precision=_HI))
+        depth[i] = depth[int(parents[i])] + 1
+
+    bones = joints - joints[:, parents]           # (N, 24, 3); j0 unused
+    local = jnp.concatenate([
+        jnp.concatenate([rots, bones[..., None]], axis=-1),
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0], dtype),
+                         (n, NUM_JOINTS, 1, 4))], axis=-2)  # (N, 24, 4, 4)
+
+    results = [None] * NUM_JOINTS
+    results[0] = make_mat(rots[:, 0], joints[:, 0])
+    for d in range(1, int(depth.max()) + 1):
+        ids = np.nonzero(depth == d)[0]
+        par = jnp.stack([results[int(parents[i])] for i in ids], axis=1)
+        prod = jnp.matmul(par, local[:, ids], precision=_HI)
+        for k, i in enumerate(ids):
+            results[int(i)] = prod[:, k]
     stacked = jnp.stack(results, axis=1)  # (N, 24, 4, 4)
 
     posed_joints = stacked[:, :, :3, 3]
