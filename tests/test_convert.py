@@ -88,7 +88,8 @@ def test_full_generator_conversion_loads(rng):
     assert len(got_flat) == len(ref_flat)
 
 
-def test_senet50_converted_weights_match_torch(rng):
+def test_senet50_converted_weights_match_torch():
+    rng = np.random.default_rng(50)  # own stream: order-independent draws
     """senet50 (VGGFace2 SE-ResNet-50, reference networks/facenet.py:193)
     converter parity: stage feats + 2048-d embedding bit-close."""
     from impersonator_tpu.models.facenet import SENet50
@@ -110,7 +111,8 @@ def test_senet50_converted_weights_match_torch(rng):
                                atol=3e-4)
 
 
-def test_osnet_converted_weights_match_torch(rng):
+def test_osnet_converted_weights_match_torch():
+    rng = np.random.default_rng(51)  # own stream: order-independent draws
     """osnet_ibn_x1_0 (reference OSreid/OSNet.py:336) converter parity:
     the 512-d reid embedding matches the functional-torch oracle."""
     from impersonator_tpu.metrics.reid import OSNet
@@ -126,7 +128,8 @@ def test_osnet_converted_weights_match_torch(rng):
     np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=3e-4)
 
 
-def test_pcb_converted_weights_match_torch(rng):
+def test_pcb_converted_weights_match_torch():
+    rng = np.random.default_rng(52)  # own stream: order-independent draws
     """PCB reid (reference PCBreid/model.py PCB_test) converter parity:
     6-part features + normalized embedding match the torch oracle."""
     from impersonator_tpu.metrics.reid import PCBReid, pcb_embed
@@ -153,7 +156,8 @@ def test_pcb_converted_weights_match_torch(rng):
                                rtol=3e-3, atol=1e-5)
 
 
-def test_facenet_ir_converted_weights_match_torch(rng):
+def test_facenet_ir_converted_weights_match_torch():
+    rng = np.random.default_rng(53)  # own stream: order-independent draws
     """InceptionResnetV1 (facenet-pytorch, the reference's face-CS/FD
     embedder) converter parity, normalize=False contract."""
     from impersonator_tpu.metrics.zoo import InceptionResnetV1
