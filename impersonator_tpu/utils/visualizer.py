@@ -100,3 +100,35 @@ def fim_enc_to_img(fim_enc: np.ndarray, map_name: str) -> np.ndarray:
     else:
         raise ValueError(map_name)
     return img.astype(np.float32)
+
+
+# LSP-plus skeleton connectivity (0-indexed), matching the reference's
+# visdom skeleton plot (utils/visdom_visualizer.py:69-88). HMR's j2d is
+# cocoplus: 0..13 lsp joints, 14..18 face/neck extras.
+SKELETON_LIMBS = [(13, 12), (12, 9), (9, 10), (10, 11), (12, 8), (8, 7),
+                  (7, 6), (12, 3), (12, 2), (3, 4), (4, 5), (2, 1), (1, 0),
+                  (17, 15), (15, 14), (14, 16), (16, 18)]
+
+
+def draw_skeleton(img: np.ndarray, kps: np.ndarray,
+                  color=(0.0, 1.0, 0.0), radius: int = 2) -> np.ndarray:
+    """Overlay 2D keypoints + limbs on an image.
+
+    img: (S, S, 3) in [-1, 1]; kps: (K, 2) in [-1, 1] image coords
+    (HMR j2d convention). Returns a copy in [-1, 1]. The reference drew
+    these into live visdom windows (visdom_visualizer.plot_skeleton);
+    here they rasterize into the JSONL/PNG dump stream.
+    """
+    import cv2
+    s = img.shape[0]
+    out = ((np.asarray(img) + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+    out = np.ascontiguousarray(out)
+    pts = ((np.asarray(kps)[:, :2] + 1.0) * 0.5 * (s - 1)).astype(int)
+    bgr = tuple(int(c * 255) for c in color[::-1])
+    k = pts.shape[0]
+    for a, b in SKELETON_LIMBS:
+        if a < k and b < k:
+            cv2.line(out, tuple(pts[a]), tuple(pts[b]), bgr, 1)
+    for p in pts:
+        cv2.circle(out, tuple(p), radius, bgr, -1)
+    return out.astype(np.float32) / 127.5 - 1.0

@@ -320,3 +320,34 @@ def test_save_obj_with_texture_atlas(tmp_path, assets):
     assert filled.mean() > 0.5
     assert uv.shape == (params.faces.shape[0], 3, 2)
     assert uv.min() >= 0 and uv.max() <= 1
+
+
+def test_draw_skeleton_and_prior_pose_tool(tmp_path, rng):
+    """Skeleton overlay (reference visdom plot parity) + the prior-pose
+    bank tool round-trips through load_prior_poses."""
+    import cv2
+    from impersonator_tpu.utils.visualizer import draw_skeleton
+
+    img = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    kps = rng.uniform(-0.8, 0.8, (19, 2)).astype(np.float32)
+    out = draw_skeleton(img, kps)
+    assert out.shape == img.shape
+    assert np.abs(out - img).max() > 0.1          # something was drawn
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+    # prior-pose tool: images -> HMR thetas pkl -> load_prior_poses
+    img_dir = tmp_path / "priors"
+    img_dir.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                    rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+    import sys
+    sys.path.insert(0, "tools")
+    from tools import make_prior_poses
+    out_pkl = str(tmp_path / "pri.pkl")
+    make_prior_poses.main(["--img_dir", str(img_dir), "--out", out_pkl,
+                           "--itv", "1", "--batch", "2"])
+    from impersonator_tpu.tasks.post_tune import load_prior_poses
+    poses = load_prior_poses(out_pkl)
+    assert poses.shape == (3, 85)
+    assert np.isfinite(np.asarray(poses)).all()
