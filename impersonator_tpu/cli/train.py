@@ -91,7 +91,7 @@ def main(argv=None):
     step_fn = jax.jit(make_step(trainer, train_d=True))
     step_g_only = jax.jit(make_step(trainer, train_d=False))
     visuals_fn = (jax.jit(trainer_mod.make_visuals_fn(trainer))
-                  if not aug else None)
+                  if not (aug or baseline) else None)
 
     start_epoch = cfg.resolve_load_epoch()
     if start_epoch > 0:

@@ -73,6 +73,21 @@ def test_train_cli_synthetic(tmp_path):
     assert any(f.startswith("net_epoch_1_id_G") for f in os.listdir(expr))
 
 
+def test_train_cli_ablation(tmp_path):
+    """The ablation baselines must train through the same CLI
+    (--model concat; reference models/baseline.py drivers)."""
+    from impersonator_tpu.cli import train
+    state = train.main([
+        "--model", "concat",
+        "--image_size", str(S), "--repeat_num", "1", "--batch_size", "2",
+        "--d_layers", "2", "--nepochs_no_decay", "1", "--nepochs_decay", "0",
+        "--checkpoints_dir", str(tmp_path / "ckpt"), "--name", "abl",
+        "--n_threads", "1",
+        "--no-use_vgg", "--no-use_face", "--no-use_style",
+    ])
+    assert int(state.step) > 0
+
+
 def _fake_iper_tree(tmp_path, rng, n_videos=2, n_frames=6, size=64):
     """Fabricate the iPER on-disk layout (images + smpl pkls) plus a
     protocol JSON in the REAL reference schema
