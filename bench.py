@@ -191,6 +191,16 @@ def main():
         result["train_step_ms_batch4"] = round(train_ms, 2)
         result["train_samples_per_sec_chip"] = round(
             4.0 / (train_ms / 1e3) / n_chips, 2)
+    try:
+        from impersonator_tpu.utils.profiling import device_memory_stats
+        ms = device_memory_stats()
+        if ms:
+            result["hbm_stats"] = {
+                k: v for k, v in next(iter(ms.values())).items()
+                if k in ("bytes_in_use", "peak_bytes_in_use",
+                         "bytes_limit")}
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

@@ -138,6 +138,12 @@ class TrainConfig(BaseConfig):
     use_face: bool = True
     mask_bce: bool = True
     bg_both: bool = False
+    # rematerialize the generator forward in the backward pass: trades
+    # ~1/3 more G FLOPs for dropping all G activations from HBM - lets
+    # batch/resolution scale past the activation-memory wall on a chip
+    # (jax.checkpoint; no reference analog, torch would use
+    # checkpoint_sequential)
+    remat: bool = False
 
     # logging / checkpoint cadence (train_options.py:9-15)
     print_freq_s: int = 60

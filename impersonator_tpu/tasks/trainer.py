@@ -222,7 +222,7 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
     renderer, smpl_params = trainer.renderer, trainer.smpl_params
     parents = trainer.assets.parents
 
-    def g_forward(g_params, inputs):
+    def _g_forward(g_params, inputs):
         """Trainer forward (impersonator_trainer.forward :325-346)."""
         if cfg.bg_both:
             bg_in = jnp.concatenate(
@@ -239,6 +239,10 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
         fake_tsf = tsf_mask * tsf_bg + (1 - tsf_mask) * tsf_color
         fake_masks = jnp.concatenate([src_mask, tsf_mask], axis=0)
         return fake_bg, fake_src, fake_tsf, fake_masks
+
+    # --remat: recompute G activations in the backward pass instead of
+    # keeping them in HBM (config.py remat)
+    g_forward = jax.checkpoint(_g_forward) if cfg.remat else _g_forward
 
     def g_loss_fn(g_params, d_params, inputs, real_src, real_tsf):
         fake_bg, fake_src, fake_tsf, fake_masks = g_forward(g_params, inputs)
