@@ -83,6 +83,36 @@ def test_trainer_single_step():
     assert np.isfinite(np.asarray(leaf0)).all()
 
 
+def test_trainer_remat_step_matches():
+    """--remat must change memory behavior only: one step with and
+    without rematerialization produces identical losses."""
+    import numpy as np
+    from impersonator_tpu import assets as A
+    from impersonator_tpu.config import TrainConfig
+    from impersonator_tpu.tasks import trainer as T
+
+    rng_np = np.random.default_rng(11)
+    batch = {
+        "images": jnp.asarray(rng_np.uniform(-1, 1, (2, 2, S, S, 3)),
+                              jnp.float32),
+        "smpls": jnp.asarray(np.concatenate([
+            np.full((2, 2, 1), 0.9, np.float32),
+            rng_np.normal(0, 0.05, (2, 2, 84)).astype(np.float32)],
+            axis=-1)),
+    }
+    losses = []
+    for remat in (False, True):
+        cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=2,
+                          d_layers=2, use_vgg=False, use_style=False,
+                          use_face=False, remat=remat)
+        tr = T.build_trainer(cfg, A.synthetic_assets())
+        state = tr.init_state()
+        step = jax.jit(T.make_train_step(tr, train_d=True))
+        _, metrics = step(state, batch)
+        losses.append(float(metrics["g_total"]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5), losses
+
+
 def test_trainer_loss_decreases_on_repeated_batch():
     cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=2,
                       use_vgg=False, use_style=False, use_face=False,
