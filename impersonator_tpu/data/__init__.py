@@ -5,6 +5,7 @@ from impersonator_tpu.data.datasets import (  # noqa: F401
     PlaceDataset,
     FashionPairDataset,
     ImPerPlaceDataset,
+    ImPerFashionPlaceDataset,
     SyntheticPairDataset,
     dataset_by_name,
 )

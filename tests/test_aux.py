@@ -351,3 +351,59 @@ def test_draw_skeleton_and_prior_pose_tool(tmp_path, rng):
     poses = load_prior_poses(out_pkl)
     assert poses.shape == (3, 85)
     assert np.isfinite(np.asarray(poses)).all()
+
+
+def test_place_fashion_composite_datasets(tmp_path, rng):
+    """Places2 backgrounds + DeepFashion pairs + the composite streams
+    (reference data/place_dataset.py, fashion_dataset.py,
+    imper_fashion_place_dataset.py) on fabricated trees."""
+    import cv2
+    import pickle
+    from impersonator_tpu.data import (DataLoader, FashionPairDataset,
+                                       ImPerDataset, ImPerFashionPlaceDataset,
+                                       ImPerPlaceDataset, PlaceDataset)
+
+    # places tree (nested dirs)
+    place_dir = tmp_path / "places" / "a"
+    place_dir.mkdir(parents=True)
+    for i in range(3):
+        cv2.imwrite(str(place_dir / f"{i}.jpg"),
+                    rng.uniform(0, 255, (80, 90, 3)).astype(np.uint8))
+    place = PlaceDataset(str(tmp_path / "places"), image_size=S)
+    assert len(place) == 3
+    bg = place[0]["bg"]
+    assert bg.shape == (S, S, 3) and np.abs(bg).max() <= 1.0
+
+    # fashion pairs: two images + per-image smpl pkls + pairs.txt
+    fdir = tmp_path / "fashion"
+    fdir.mkdir()
+    for name in ("x", "y"):
+        cv2.imwrite(str(fdir / f"{name}.jpg"),
+                    rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+        with open(fdir / f"{name}_smpl.pkl", "wb") as f:
+            pickle.dump({"cams": np.array([0.9, 0, 0], np.float32),
+                         "pose": rng.normal(0, 0.03, 72).astype(np.float32),
+                         "shape": np.zeros(10, np.float32)}, f)
+    (fdir / "pairs.txt").write_text("x.jpg y.jpg\n")
+    fashion = FashionPairDataset(str(fdir), image_size=S)
+    assert len(fashion) == 1
+    s0 = fashion[0]
+    assert s0["images"].shape == (2, S, S, 3)
+    assert s0["smpls"].shape == (2, 85)
+
+    # composites: fashion+place pooled stream through the DataLoader
+    # empty first source (duck-typed; ImPerDataset requires a real tree)
+    imper = FashionPairDataset(str(tmp_path), "absent_pairs.txt",
+                               image_size=S)
+    pooled = ImPerFashionPlaceDataset(imper, fashion, place)
+    assert len(pooled) == 1
+    sample = pooled[0]
+    assert set(sample) == {"images", "smpls", "bg"}
+
+    loader = DataLoader(pooled, batch_size=1, num_workers=1)
+    batch = next(iter(loader))
+    assert batch["images"].shape == (1, 2, S, S, 3)
+    assert batch["bg"].shape == (1, S, S, 3)
+
+    paired = ImPerPlaceDataset(fashion, place)  # any pair-source works
+    assert len(paired) == 1 and "bg" in paired[0]
