@@ -34,6 +34,10 @@ def main(argv=None):
                         help="pkl of prior pose thetas for post_tune "
                              "(the reference's assets/samples/A_priors, "
                              "run_imitator.py:69-95)")
+    parser.add_argument("--face_path", default=None,
+                        help="converted Sphere20a msgpack: enables the "
+                             "post-tune FaceLoss term (reference "
+                             "imitator.py:434-452 always includes it)")
     extra, _ = parser.parse_known_args(argv)
     cfg.save("test")
     imitator = Imitator(cfg)
@@ -44,7 +48,15 @@ def main(argv=None):
 
     if cfg.post_tune:
         from impersonator_tpu.tasks.post_tune import adaptive_personalize
-        adaptive_personalize(imitator, prior_poses_path=extra.prior_poses)
+        face = face_params = None
+        if extra.face_path and os.path.exists(extra.face_path):
+            from flax import serialization
+            from impersonator_tpu.models.facenet import Sphere20a
+            face = Sphere20a()
+            with open(extra.face_path, "rb") as f:
+                face_params = serialization.msgpack_restore(f.read())
+        adaptive_personalize(imitator, prior_poses_path=extra.prior_poses,
+                             face=face, face_params=face_params)
 
     frames = collect_frames(cfg.tgt_path)
     # streaming feed: host decode (native C++ prefetch when built)

@@ -213,3 +213,27 @@ def test_demos_cli(which, tmp_path):
                 "--output_dir", str(tmp_path / "out"), "--name", "demo"])
     outs = os.listdir(tmp_path / "out")
     assert any(o.endswith(".png") for o in outs)
+
+
+def test_run_imitator_post_tune_with_face(img_files, tmp_path):
+    """--post_tune --face_path: the FaceLoss term joins the post-tune
+    objective (reference imitator.py:434-452)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from impersonator_tpu.cli import run_imitator
+    from impersonator_tpu.models.facenet import Sphere20a
+
+    face = Sphere20a()
+    tree = jax.jit(face.init)(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 112, 96, 3)))
+    fpath = str(tmp_path / "sphere.msgpack")
+    with open(fpath, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+    src, tgt = img_files
+    preds = run_imitator.main(
+        ["--src_path", src, "--tgt_path", tgt, "--post_tune",
+         "--face_path", fpath] + _common(tmp_path))
+    assert preds.shape[0] == 2
+    assert np.isfinite(preds).all()
