@@ -102,11 +102,13 @@ def main():
              for k, v in imit.renderer.tile_stats(fv).items()}
     raster_parity = None
     if jax.default_backend() == "tpu":
-        # production bucket kernel vs the XLA fixed-slot reference path
-        fa, wa = rast.rasterize_fim_wim_tiled(
-            fv, cfg.image_size, tile=tile, cap=cap, span=span, backend="xla")
+        # production bucket kernel vs the BRUTE oracle (bit-matched CUDA
+        # semantics), executed on the TPU itself — catches Mosaic
+        # lowering regressions that CPU interpret-mode tests can't
+        fv2 = fv[:2]
+        fa, wa = rast.rasterize_fim_wim(fv2, cfg.image_size)
         fb, wb = rast.rasterize_fim_wim_bucket(
-            fv, cfg.image_size, tile=tile, span=span, txb=4)
+            fv2, cfg.image_size, tile=tile, span=span, txb=4)
         raster_parity = {
             "fim_match": float((np.asarray(fa) == np.asarray(fb)).mean()),
             "wim_max_abs_diff": float(
