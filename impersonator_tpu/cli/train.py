@@ -84,8 +84,15 @@ def main(argv=None):
     state = replicate_tree(state, mesh)
 
     dataset = dataset_by_name(dataset_name, cfg)
+    # Multi-host: every process shuffles the SAME global index stream
+    # (common seed) and takes its disjoint per-step slice, so the global
+    # batch assembled by global_shard_batch has process_count distinct
+    # shards (not duplicated data with wrong gradient statistics).
     loader = DataLoader(dataset, local_bs, num_workers=cfg.n_threads,
-                        mesh=None if multiprocess else mesh)
+                        seed=cfg.seed,
+                        mesh=None if multiprocess else mesh,
+                        shard_index=jax.process_index(),
+                        shard_count=jax.process_count())
 
     vis = Visualizer(cfg.expr_dir())
     step_fn = jax.jit(make_step(trainer, train_d=True))

@@ -25,7 +25,14 @@ def _collate(samples):
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 2, prefetch: int = 4, seed: int = 0,
-                 drop_last: bool = True, mesh=None):
+                 drop_last: bool = True, mesh=None,
+                 shard_index: int = 0, shard_count: int = 1):
+        """``shard_index``/``shard_count``: multi-host data sharding. Every
+        process builds the SAME globally-shuffled index stream (common
+        ``seed``) in global batches of ``batch_size * shard_count`` rows
+        and takes its own disjoint ``batch_size``-row slice per step — so
+        ``global_shard_batch`` assembles a true global batch instead of
+        ``shard_count`` copies of the same samples."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -34,22 +41,29 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.mesh = mesh
+        assert 0 <= shard_index < shard_count, (shard_index, shard_count)
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        global_bs = self.batch_size * self.shard_count
+        n = len(self.dataset) // global_bs
+        if not self.drop_last and len(self.dataset) % global_bs:
             n += 1
         return max(n, 1)
 
     def _batches_of_indices(self):
         n = len(self.dataset)
-        idx = np.arange(max(n, self.batch_size))
+        global_bs = self.batch_size * self.shard_count
+        idx = np.arange(max(n, global_bs))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
-        for i in range(0, len(idx) - self.batch_size + 1, self.batch_size):
-            yield idx[i:i + self.batch_size] % max(n, 1)
+        lo = self.shard_index * self.batch_size
+        for i in range(0, len(idx) - global_bs + 1, global_bs):
+            g = idx[i:i + global_bs] % max(n, 1)
+            yield g[lo:lo + self.batch_size]
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1

@@ -81,6 +81,46 @@ def test_global_shard_batch_single_process():
     assert sl == slice(0, 8)
 
 
+class _IndexDataset:
+    """Samples encode their own index, to observe the loader's draws."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"i": np.asarray([i], np.int64)}
+
+
+def test_sharded_loaders_disjoint_per_step():
+    """Multi-host data sharding (ADVICE r2 high): per-process loaders with
+    a common seed must draw DISJOINT per-step slices that together cover a
+    globally-shuffled batch — not process_count copies of the same data."""
+    from impersonator_tpu.data.loader import DataLoader
+
+    ds = _IndexDataset(32)
+    loaders = [
+        DataLoader(ds, batch_size=4, shuffle=True, num_workers=1, seed=7,
+                   shard_index=p, shard_count=2)
+        for p in range(2)
+    ]
+    assert len(loaders[0]) == 32 // (4 * 2)
+    steps = [list(ld) for ld in loaders]
+    assert len(steps[0]) == len(steps[1]) == len(loaders[0])
+    seen_epoch = [set(), set()]
+    for b0, b1 in zip(*steps):
+        s0 = set(b0["i"].ravel().tolist())
+        s1 = set(b1["i"].ravel().tolist())
+        assert len(s0) == len(s1) == 4
+        assert not (s0 & s1), (s0, s1)   # disjoint within the step
+        seen_epoch[0] |= s0
+        seen_epoch[1] |= s1
+    # across the epoch the two shards jointly cover the dataset
+    assert seen_epoch[0] | seen_epoch[1] == set(range(32))
+
+
 def test_trainer_convergence_smoke(assets):
     """The GAN step must LEARN: g_total decreases over ~20 synthetic
     steps on a fixed batch (VERDICT r1 weak #9 — no does-it-learn signal)."""
