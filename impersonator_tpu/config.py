@@ -138,6 +138,10 @@ class TrainConfig(BaseConfig):
     use_face: bool = True
     mask_bce: bool = True
     bg_both: bool = False
+    # mixed-precision TRAIN step: G/D/VGG forwards in this dtype with
+    # fp32 master params + fp32 loss terms (inference already honors
+    # compute_dtype, tasks/imitator.py:109-130). "float32" | "bfloat16".
+    train_dtype: str = "float32"
     # rematerialize the generator forward in the backward pass: trades
     # ~1/3 more G FLOPs for dropping all G activations from HBM - lets
     # batch/resolution scale past the activation-memory wall on a chip

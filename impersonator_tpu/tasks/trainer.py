@@ -222,6 +222,35 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
     renderer, smpl_params = trainer.renderer, trainer.smpl_params
     parents = trainer.assets.parents
 
+    # Mixed-precision policy for the train step (cfg.train_dtype): fp32
+    # master params are cast to bf16 for the G/D/VGG forwards; grads flow
+    # through the cast back into fp32 optax accumulators; every loss term
+    # is computed on fp32-restored outputs. Flow fields (last dim 2) stay
+    # fp32 for coordinate precision, mirroring inference's gen_apply
+    # policy (tasks/imitator.py:109-130).
+    tdtype = (jnp.bfloat16
+              if getattr(cfg, "train_dtype", "float32") == "bfloat16"
+              else None)
+
+    def _pol(apply_fn, params, *args):
+        if tdtype is None:
+            return apply_fn(params, *args)
+        from impersonator_tpu.tasks.imitator import _cast_tree
+        params = _cast_tree(params, tdtype)
+
+        def cast_in(a):
+            if isinstance(a, (list, tuple)):
+                return type(a)(cast_in(x) for x in a)
+            if (hasattr(a, "dtype") and a.dtype == jnp.float32
+                    and a.ndim == 4 and a.shape[-1] != 2):
+                return a.astype(tdtype)
+            return a
+
+        out = apply_fn(params, *(cast_in(a) for a in args))
+        return jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.float32) if hasattr(x, "dtype")
+                       and x.dtype == tdtype else x), out)
+
     def _g_forward(g_params, inputs):
         """Trainer forward (impersonator_trainer.forward :325-346)."""
         if cfg.bg_both:
@@ -229,9 +258,9 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
                 [inputs["input_G_bg"], inputs["input_G_tsf_bg"]], axis=0)
         else:
             bg_in = inputs["input_G_bg"]
-        fake_bg, src_color, src_mask, tsf_color, tsf_mask = gen.apply(
-            g_params, bg_in, inputs["input_G_src"], inputs["input_G_tsf"],
-            inputs["T"])
+        fake_bg, src_color, src_mask, tsf_color, tsf_mask = _pol(
+            gen.apply, g_params, bg_in, inputs["input_G_src"],
+            inputs["input_G_tsf"], inputs["T"])
         bs = src_color.shape[0]
         src_bg = fake_bg[:bs]
         tsf_bg = fake_bg[bs:] if cfg.bg_both else src_bg
@@ -249,22 +278,22 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
         tsf_cond = inputs["input_G_tsf"][..., 3:]
 
         fake_input_d = jnp.concatenate([fake_tsf, tsf_cond], axis=-1)
-        d_fake = disc.apply(d_params, fake_input_d)
+        d_fake = _pol(disc.apply, d_params, fake_input_d)
         loss_adv = L.lsgan_loss(d_fake, 0.0) * cfg.lambda_D_prob
         loss_rec = L.l1(fake_src, real_src) * cfg.lambda_rec
 
         loss_tsf = 0.0
         if cfg.use_vgg:
-            fx = trainer.vgg.apply(trainer.vgg_params, fake_tsf)
-            fy = trainer.vgg.apply(trainer.vgg_params, real_tsf)
+            fx = _pol(trainer.vgg.apply, trainer.vgg_params, fake_tsf)
+            fy = _pol(trainer.vgg.apply, trainer.vgg_params, real_tsf)
             loss_tsf = L.vgg_loss(fx, fy) * cfg.lambda_tsf
 
         loss_style = 0.0
         if cfg.use_style and cfg.lambda_style > 0:
-            fx = trainer.vgg.apply(
-                trainer.vgg_params, resize_bilinear_align(fake_tsf, 224, 224))
-            fy = trainer.vgg.apply(
-                trainer.vgg_params, resize_bilinear_align(real_tsf, 224, 224))
+            fx = _pol(trainer.vgg.apply, trainer.vgg_params,
+                      resize_bilinear_align(fake_tsf, 224, 224))
+            fy = _pol(trainer.vgg.apply, trainer.vgg_params,
+                      resize_bilinear_align(real_tsf, 224, 224))
             loss_style = L.style_loss(fx, fy) * cfg.lambda_style
 
         loss_face = 0.0
@@ -294,8 +323,8 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
         fake_in = jnp.concatenate(
             [jax.lax.stop_gradient(fake_tsf), tsf_cond], axis=-1)
         real_in = jnp.concatenate([real_tsf, tsf_cond], axis=-1)
-        d_real = disc.apply(d_params, real_in)
-        d_fake = disc.apply(d_params, fake_in)
+        d_real = _pol(disc.apply, d_params, real_in)
+        d_fake = _pol(disc.apply, d_params, fake_in)
         loss = (L.lsgan_loss(d_real, 1.0) + L.lsgan_loss(d_fake, -1.0)) \
             * cfg.lambda_D_prob
         return loss, {"d_real": jnp.mean(d_real), "d_fake": jnp.mean(d_fake),

@@ -113,6 +113,40 @@ def test_trainer_remat_step_matches():
     assert losses[0] == pytest.approx(losses[1], rel=1e-5), losses
 
 
+def test_trainer_bf16_step_matches_fp32():
+    """--train_dtype bfloat16 is a precision policy, not a semantics
+    change: one mixed-precision step agrees with the fp32 step to within
+    bf16 rounding on every loss term (VERDICT r2 next-step #3 guard)."""
+    import numpy as np
+    from impersonator_tpu import assets as A
+    from impersonator_tpu.config import TrainConfig
+    from impersonator_tpu.tasks import trainer as T
+
+    rng_np = np.random.default_rng(13)
+    batch = {
+        "images": jnp.asarray(rng_np.uniform(-1, 1, (2, 2, S, S, 3)),
+                              jnp.float32),
+        "smpls": jnp.asarray(np.concatenate([
+            np.full((2, 2, 1), 0.9, np.float32),
+            rng_np.normal(0, 0.05, (2, 2, 84)).astype(np.float32)],
+            axis=-1)),
+    }
+    metrics_by_dtype = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=2,
+                          d_layers=2, use_vgg=False, use_style=False,
+                          use_face=False, train_dtype=dtype)
+        tr = T.build_trainer(cfg, A.synthetic_assets())
+        state = tr.init_state()
+        step = jax.jit(T.make_train_step(tr, train_d=True))
+        _, metrics = step(state, batch)
+        metrics_by_dtype[dtype] = {k: float(v) for k, v in metrics.items()}
+    for key in ("g_total", "g_rec", "g_adv", "g_mask", "d_loss"):
+        a = metrics_by_dtype["float32"][key]
+        b = metrics_by_dtype["bfloat16"][key]
+        assert abs(a - b) / max(abs(a), 1.0) < 5e-2, (key, a, b)
+
+
 def test_trainer_loss_decreases_on_repeated_batch():
     cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=2,
                       use_vgg=False, use_style=False, use_face=False,
