@@ -90,9 +90,31 @@ def perceptual_distance(vgg, vgg_params, a, b,
     return total
 
 
+def sspe_score(pred_smpls, ref_smpls) -> float:
+    """Scale-Shape-Pose absolute error between two (B, 85) theta batches
+    (ssp_abs_err_score_func, his_evaluators metrics.py:398-418):
+    mean |Δscale| + mean Σ|Δshape| + mean Σ|Δ(cam+pose)|."""
+    p = np.asarray(pred_smpls, np.float64)
+    r = np.asarray(ref_smpls, np.float64)
+    scale_err = np.mean(np.abs(p[:, 0] - r[:, 0]))
+    shape_err = np.mean(np.sum(np.abs(p[:, -10:] - r[:, -10:]), axis=1))
+    pose_err = np.mean(np.sum(np.abs(p[:, 0:-10] - r[:, 0:-10]), axis=1))
+    return float(scale_err + shape_err + pose_err)
+
+
+def _paired_cosine(a, b) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-9)
+    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-9)
+    return float((an * bn).sum(axis=1).mean())
+
+
 class PairedMetricRunner:
     """Frame-paired evaluation (his_evaluators base.py:57-96):
-    accumulates ssim/psnr/lps over (pred, ref) batches.
+    accumulates ssim/psnr/lps — plus the reference's embedding-paired
+    types face-CS / OS-CS-reid (evaluate.py:135 pair_types) and SSPE
+    (metrics.py:1048-1111) — over (pred, ref) batches.
 
     Accumulation is FRAME-weighted (Σ batch_mean·batch_size / Σ size), not
     batch-weighted — videos of different lengths would otherwise skew the
@@ -103,18 +125,34 @@ class PairedMetricRunner:
     ``lps`` needs an LPIPS apply fn — pass ``lpips_apply(a, b) -> (B,)``
     built from converted weights (metrics.zoo.LPIPS), or fall back to
     ``vgg``+``vgg_params`` for the unweighted VGG distance (a consistent
-    relative metric, NOT reference LPIPS)."""
+    relative metric, NOT reference LPIPS).
+
+    * ``SSPE`` needs ``hmr_fn(imgs) -> (B, 85)`` thetas;
+    * ``face-CS`` needs ``face_fn(imgs[, bboxes])`` — pass SMPL-head
+      bboxes through ``update`` so embeddings are head crops, matching
+      the reference's MTCNN-cropped convention (metrics.py:887-1024);
+    * ``OS-CS-reid`` needs ``reid_fn(imgs) -> (B, D)``."""
 
     def __init__(self, metric_types=("ssim", "psnr"), vgg=None,
-                 vgg_params=None, lpips_apply=None):
+                 vgg_params=None, lpips_apply=None, hmr_fn=None,
+                 face_fn=None, reid_fn=None):
         self.metric_types = list(metric_types)
         self.vgg = vgg
         self.vgg_params = vgg_params
         self.lpips_apply = lpips_apply
+        self.hmr_fn = hmr_fn
+        self.face_fn = face_fn
+        self.reid_fn = reid_fn
         self._sums = {m: 0.0 for m in self.metric_types}
         self._frames = 0
 
-    def update(self, preds, refs):
+    def _face_embed(self, imgs, bboxes):
+        try:
+            return self.face_fn(imgs, bboxes)
+        except TypeError:   # extractor without a bbox parameter
+            return self.face_fn(imgs)
+
+    def update(self, preds, refs, pred_bboxes=None, ref_bboxes=None):
         preds = jnp.asarray(preds)
         refs = jnp.asarray(refs)
         n = preds.shape[0]
@@ -129,10 +167,25 @@ class PairedMetricRunner:
                 else:
                     v = float(perceptual_distance(self.vgg, self.vgg_params,
                                                   preds, refs))
+            elif m == "SSPE":
+                v = sspe_score(self.hmr_fn(preds), self.hmr_fn(refs))
+            elif m == "face-CS":
+                v = _paired_cosine(self._face_embed(preds, pred_bboxes),
+                                   self._face_embed(refs, ref_bboxes))
+            elif m == "OS-CS-reid":
+                v = _paired_cosine(self.reid_fn(preds), self.reid_fn(refs))
             else:
                 raise ValueError(m)
             self._sums[m] += v * n
         self._frames += n
+
+    def merge(self, other: "PairedMetricRunner") -> None:
+        """Fold another runner's accumulated sums in — lets a per-video
+        runner feed the aggregate without recomputing every metric."""
+        assert self.metric_types == other.metric_types
+        for m in self.metric_types:
+            self._sums[m] += other._sums[m]
+        self._frames += other._frames
 
     def evaluate(self) -> dict:
         return {m: self._sums[m] / max(self._frames, 1)

@@ -45,6 +45,7 @@ class EvalUnit:
     src_smpls: Optional[np.ndarray] = None      # (n_src, 85)
     si_smpls: Optional[np.ndarray] = None       # (n_si, 85)
     ci_smpls: Optional[np.ndarray] = None       # (n_ci, 85)
+    flag_smpls: Optional[np.ndarray] = None     # (n_flag, 85)
 
 
 class Protocol:
@@ -126,7 +127,9 @@ class Protocol:
             key = str(self._num_sources)
             if key not in s_n:
                 key = min(s_n, key=lambda k: abs(int(k) - self._num_sources))
-            src_ids = [int(t.split(".")[0]) for t in s_n[key]]
+            # "000.jpg" and "frame_00000000.png" both parse
+            # (fashionvideo.py:140: split(".")[0].split("_")[-1])
+            src_ids = [int(t.split(".")[0].split("_")[-1]) for t in s_n[key]]
             src_paths = [frames[i] for i in src_ids]
             b, e = info["self_imitation"]["range"]
             si_paths = frames[b:e + 1]
@@ -154,6 +157,8 @@ class Protocol:
                     src_ids = [frames.index(p) for p in src_paths]
                 unit.src_smpls = own[src_ids]
                 unit.si_smpls = own[si_idx]
+                if ci_video and flag_range:
+                    unit.flag_smpls = own[flag_range[0]:flag_range[1] + 1]
             if ci_video:
                 tgt = self.smpls(ci_video)
                 if tgt is not None:
@@ -170,7 +175,64 @@ class IPERProtocol(Protocol):
     """iPER evaluation protocol (protocols/iPER.py)."""
 
 
-PROTOCOLS = {"iPER": IPERProtocol}
+class ProcessedDirProtocol(Protocol):
+    """Shared layout of the non-iPER protocols (fashionvideo.py:76-80,
+    206-207; MotionSynthetic.py:77, 206; YoutubeDancer18.py:100, 231):
+    frames live at ``{data_dir}/{processed_sub}/{vid}/images/*`` and
+    smpls at ``{data_dir}/{processed_sub}/{vid}/pose_shape.pkl``; the
+    protocol JSON schema itself is identical to iPER's."""
+
+    PROCESSED_SUB = "processed"
+    SHAPE_ONCE = False   # pose_shape.pkl stores shape once, not per frame
+
+    def frames_dir(self, video_id: str, images_folder: str | None = None):
+        return os.path.join(self.data_dir, self.PROCESSED_SUB, video_id,
+                            "images")
+
+    def smpls(self, video_id: str) -> Optional[np.ndarray]:
+        if video_id not in self._smpl_cache:
+            pkl = os.path.join(self.data_dir, self.PROCESSED_SUB, video_id,
+                               "pose_shape.pkl")
+            if not os.path.exists(pkl):
+                self._smpl_cache[video_id] = None
+            else:
+                with open(pkl, "rb") as f:
+                    d = pickle.load(f)
+                cams = np.asarray(d["cams"], np.float32)
+                shape = np.asarray(d["shape"], np.float32)
+                if self.SHAPE_ONCE or shape.shape[0] != cams.shape[0]:
+                    # MotionSynthetic stores one shape row per video
+                    # (MotionSynthetic.py:229)
+                    shape = np.repeat(shape[:1], cams.shape[0], axis=0)
+                self._smpl_cache[video_id] = np.concatenate(
+                    [cams, np.asarray(d["pose"], np.float32), shape], axis=1)
+        return self._smpl_cache[video_id]
+
+
+class FashionVideoProtocol(ProcessedDirProtocol):
+    """DeepFashion video protocol (protocols/fashionvideo.py:10-256):
+    frames under ``processed/val``."""
+
+    PROCESSED_SUB = os.path.join("processed", "val")
+
+
+class MotionSyntheticProtocol(ProcessedDirProtocol):
+    """Synthetic-motion protocol (protocols/MotionSynthetic.py:9-256);
+    per-video single shape row broadcast over frames."""
+
+    SHAPE_ONCE = True
+
+
+class YoutubeDancer18Protocol(ProcessedDirProtocol):
+    """Youtube-Dancer-18 protocol (protocols/YoutubeDancer18.py:35-281)."""
+
+
+PROTOCOLS = {
+    "iPER": IPERProtocol,
+    "fashionvideo": FashionVideoProtocol,
+    "MotionSynthetic": MotionSyntheticProtocol,
+    "YoutubeDancer18": YoutubeDancer18Protocol,
+}
 
 
 def build_protocol(name: str, data_dir: str, protocol_file: str,

@@ -92,7 +92,11 @@ class UnpairedMetricRunner:
                      for k in ("inc", "reid", "pcb", "face", "embed")}
         self._probs = []
 
-    def update(self, preds, refs=None):
+    def update(self, preds, refs=None, pred_bboxes=None, ref_bboxes=None):
+        """``pred_bboxes``/``ref_bboxes``: (N, 4) fractional head boxes —
+        when given, the face extractor embeds head CROPS rather than full
+        frames, matching the reference's MTCNN-cropped 160² convention
+        (metrics.py:887-1024; boxes here derive from SMPL head kps)."""
         preds = jnp.asarray(preds)
         refs = jnp.asarray(refs) if refs is not None else None
 
@@ -113,7 +117,15 @@ class UnpairedMetricRunner:
         if self.pcb_fn is not None:
             both("pcb", self.pcb_fn)
         if self.face_fn is not None:
-            both("face", self.face_fn)
+            def face(imgs):
+                boxes = pred_bboxes if imgs is preds else ref_bboxes
+                if boxes is not None:
+                    try:
+                        return self.face_fn(imgs, jnp.asarray(boxes))
+                    except TypeError:  # extractor without a bbox param
+                        pass
+                return self.face_fn(imgs)
+            both("face", face)
         if self.embed_fn is not None:
             both("embed", self.embed_fn)
 

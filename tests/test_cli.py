@@ -149,6 +149,69 @@ def test_protocol_parses_reference_schema(tmp_path, rng):
     assert unit.ci_smpls.shape == (3, 85)
 
 
+@pytest.mark.parametrize("name,sub,shape_once", [
+    ("fashionvideo", os.path.join("processed", "val"), False),
+    ("MotionSynthetic", "processed", True),
+    ("YoutubeDancer18", "processed", False),
+])
+def test_non_iper_protocols_parse(tmp_path, rng, name, sub, shape_once):
+    """The non-iPER protocol layouts (his_evaluators protocols/
+    {fashionvideo,MotionSynthetic,YoutubeDancer18}.py): frames under
+    {processed_sub}/{vid}/images, pose_shape.pkl beside them,
+    MotionSynthetic with a single shape row per video."""
+    import cv2
+    import pickle
+    from impersonator_tpu.metrics.protocols import build_protocol
+
+    data_dir = tmp_path / "data"
+    n_frames = 6
+    vids = ["001/9/1", "007/1/2"]
+    for vid in vids:
+        img_dir = data_dir / sub / vid / "images"
+        img_dir.mkdir(parents=True)
+        for i in range(n_frames):
+            cv2.imwrite(str(img_dir / f"frame_{i:08d}.png"),
+                        rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+        n_shape = 1 if shape_once else n_frames
+        with open(data_dir / sub / vid / "pose_shape.pkl", "wb") as f:
+            pickle.dump({
+                "cams": np.tile([0.9, 0, 0], (n_frames, 1)).astype(np.float32),
+                "pose": rng.normal(0, 0.03, (n_frames, 72)).astype(np.float32),
+                "shape": np.zeros((n_shape, 10), np.float32),
+            }, f)
+    proto = {"val": {vids[0]: {
+        "s_n": {"1": ["frame_00000000.png"]},
+        "self_imitation": {"target": vids[0], "range": [1, 4]},
+        "cross_imitation": {"target": vids[1], "range": [2, 4]},
+        "flag": [2, 4],
+    }}}
+    proto_path = data_dir / "protocol.json"
+    proto_path.write_text(json.dumps(proto))
+
+    p = build_protocol(name, str(data_dir), str(proto_path))
+    p.setup(num_sources=1, load_smpls=True)
+    unit = p[0]
+    assert len(unit.src_paths) == 1 and len(unit.si_paths) == 4
+    assert len(unit.ci_paths) == 3 and len(unit.flag_paths) == 3
+    assert unit.si_smpls.shape == (4, 85)       # shape broadcast for MS
+    assert unit.ci_smpls.shape == (3, 85)
+    assert unit.flag_smpls.shape == (3, 85)
+
+
+def test_sspe_score_math():
+    """sspe matches ssp_abs_err_score_func (metrics.py:398-418)."""
+    from impersonator_tpu.metrics.metrics import sspe_score
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, (5, 85)).astype(np.float32)
+    assert sspe_score(a, a) == 0.0
+    b = a.copy()
+    b[:, 0] += 0.5        # scale
+    b[:, 80] += 1.0       # shape (last 10)
+    b[:, 10] -= 2.0       # pose block (0:-10)
+    # scale_err 0.5 + shape_err 1.0 + pose_err (0.5 from cam + 2.0)
+    assert np.isclose(sspe_score(b, a), 0.5 + 1.0 + 2.5, atol=1e-6)
+
+
 def test_evaluate_cli_on_fake_iper(tmp_path, rng, capsys):
     """Full protocol runner: self-imitation (paired) + cross-imitation
     (unpaired via a face embedder), truncation logged, preds written in
@@ -162,21 +225,38 @@ def test_evaluate_cli_on_fake_iper(tmp_path, rng, capsys):
     face = Sphere20a()
     fparams = face.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 96, 3)))
 
+    crop_calls = []
+
     @jax.jit
-    def face_fn(imgs):
+    def _face_embed(imgs, bboxes=None):
+        from impersonator_tpu.models.losses import crop_resize_fractional
         from impersonator_tpu.ops.sampler import resize_bilinear_torch
-        return face.apply(fparams, resize_bilinear_torch(imgs, 112, 96))[-1]
+        if bboxes is not None:
+            x = crop_resize_fractional(imgs, bboxes, 112, 96)
+        else:
+            x = resize_bilinear_torch(imgs, 112, 96)
+        return face.apply(fparams, x)[-1]
+
+    def face_fn(imgs, bboxes=None):
+        crop_calls.append(bboxes is not None)
+        return _face_embed(imgs, bboxes) if bboxes is not None \
+            else _face_embed(imgs)
 
     data_dir, proto = _fake_iper_tree(tmp_path, rng)
     cfg = TestConfig(image_size=S, repeat_num=1, data_dir=data_dir,
                      checkpoints_dir=str(tmp_path / "ckpt"), name="eval",
                      output_dir=str(tmp_path / "out"))
     results = evaluate_protocol(cfg, proto, max_videos=1, max_frames=3,
-                                face_fn=face_fn, save_preds=True)
+                                face_fn=face_fn, save_preds=True, sspe=True)
     si = results["self_imitation"]
     assert np.isfinite(si["ssim"]) and np.isfinite(si["psnr"])
+    # SSPE (HMR preds-vs-refs) + paired face-CS ride the paired suite
+    assert np.isfinite(si["SSPE"]) and si["SSPE"] >= 0
+    assert np.isfinite(si["face-CS"])
     assert "face-FD" in results["cross_imitation"]
     assert np.isfinite(results["cross_imitation"]["face-CS"])
+    # the smpl-derived head bboxes actually reached the face embedder
+    assert any(crop_calls), "face metrics never used head crops"
     assert results["per_video"]
     # truncation must be loud, not silent
     assert "capping" in capsys.readouterr().out
