@@ -160,10 +160,14 @@ def swap_smpl(src_cam, src_shape, tgt_smpl, first_cam, cam_strategy="smooth"):
 def personalize_core(nets: ImitatorNets, renderer: SMPLRenderer,
                      smpl_params: smpl_ops.SMPLParams, parents,
                      img, src_theta, bg_ks: int, ft_ks: int,
-                     only_vis: bool = False, compute_dtype=None):
+                     only_vis: bool = False, compute_dtype=None,
+                     ext_body_mask=None):
     """Device-side personalization (imitator.py:83-145, sans file IO).
 
     img: (1, S, S, 3) in [-1, 1]. Returns the cached source state dict.
+    ``ext_body_mask`` (1, S, S, 1): a detector-provided body mask (e.g.
+    MaskRCNN, reference imitator.py:116-122) replacing the SMPL-cond
+    morph for the BG-inpainting stream.
     """
     info = smpl_ops.get_details(smpl_params, src_theta, parents)
     f2verts, fim, wim = renderer.render_fim_wim(info["cam"], info["verts"])
@@ -172,8 +176,12 @@ def personalize_core(nets: ImitatorNets, renderer: SMPLRenderer,
         p2verts = renderer.get_vis_f2pts(p2verts, fim)
     cond = renderer.encode_fim(fim)  # (1, S, S, 3)
 
-    bg_mask = morphology.morph(cond[..., -1:], ks=bg_ks, mode="erode")
-    body_mask = 1.0 - bg_mask
+    if ext_body_mask is not None:
+        body_mask = ext_body_mask
+        bg_mask = 1.0 - body_mask
+    else:
+        bg_mask = morphology.morph(cond[..., -1:], ks=bg_ks, mode="erode")
+        body_mask = 1.0 - bg_mask
     if nets.bgnet is not None:
         bg_img = nets.bgnet.apply(nets.bgnet_params, img, body_mask, only_x=True)
     else:
@@ -277,9 +285,16 @@ class Imitator:
             personalize_core, renderer=renderer, parents=parents,
             bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks, only_vis=cfg.only_vis,
             compute_dtype=compute_dtype))
-        self._personalize_jit = lambda img, theta: _pers(
-            self.nets, smpl_params=self.smpl_params, img=img,
-            src_theta=theta)
+        self._personalize_jit = \
+            lambda img, theta, ext_body_mask=None: _pers(
+                self.nets, smpl_params=self.smpl_params, img=img,
+                src_theta=theta, ext_body_mask=ext_body_mask)
+        # --has_detector: host-side MaskRCNN body masks at personalize
+        # time (imitator.py:116-122); None → on-device cond-morph mask
+        from impersonator_tpu.utils.detectors import (MaskRCNNDetector,
+                                                      build_detector)
+        det = build_detector(cfg.has_detector, cfg.bg_ks)
+        self.detector = det if isinstance(det, MaskRCNNDetector) else None
         _imit = jax.jit(partial(
             imitate_core, renderer=renderer, parents=parents,
             front_warp=cfg.front_warp, compute_dtype=compute_dtype))
@@ -317,7 +332,12 @@ class Imitator:
             theta = self.regress_smpl(img224[None])
         else:
             theta = jnp.asarray(src_smpl, jnp.float32).reshape(1, 85)
-        self.src_info = self._personalize_jit(img, theta)
+        body_mask = None
+        if self.detector is not None:
+            _, body_mask = self.detector.inference(np.asarray(src_img))
+            body_mask = jnp.asarray(body_mask, jnp.float32)
+        self.src_info = self._personalize_jit(img, theta,
+                                              ext_body_mask=body_mask)
         return self.src_info
 
     def inference_by_smpls(self, tgt_smpls, cam_strategy: str = "smooth",

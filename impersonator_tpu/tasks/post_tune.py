@@ -180,19 +180,33 @@ def make_tune_step(imit, tx, face=None, face_params=None,
     return step
 
 
+def post_tune_steps(n_pairs: int, epochs: int, batch_size: int) -> int:
+    """Reference step budget: epochs × ceil(n_pairs / batch)
+    (imitator.post_personalize iterates the MetaCycleDataSet loader every
+    epoch, imitator.py:419-433)."""
+    return epochs * -(-n_pairs // max(batch_size, 1))
+
+
 def adaptive_personalize(imit, prior_smpls=None, prior_poses_path=None,
                          epochs: int = 5, lr: float = 2e-4,
+                         batch_size: int = 4,
                          use_face: bool | None = None,
-                         face=None, face_params=None, verbose: bool = False):
+                         face=None, face_params=None, verbose: bool = False,
+                         seed: int = 0):
     """Full post-tune: meta pairs + Adam loop, updating imit.nets.gen_params
     in place (run_imitator.adaptive_personalize :199-211; budget 5 epochs
-    Adam(2e-4, β .5/.999), imitator.py:415-417).
+    × ceil(n_pairs/batch) Adam(2e-4, β .5/.999) minibatch steps over the
+    shuffled pair set, matching the reference's MetaCycleDataSet loader
+    epochs, imitator.py:415-433).
 
     Prior poses come from (in priority order) ``prior_smpls`` (N,85),
     ``prior_poses_path`` (the reference's assets/samples/A_priors pkl,
     run_imitator.py:69-95), else jittered source poses. ``use_face=None``
     auto-enables FaceLoss whenever a face net is supplied — the reference
-    post-tune loss always includes it (imitator.py:434-452)."""
+    post-tune loss always includes it (imitator.py:434-452).
+
+    Returns the last step's metrics plus ``cyc_history`` (one mean cycle
+    loss per epoch) and ``n_steps``."""
     assert imit.src_info is not None, "personalize() first"
     if use_face is None:
         use_face = face is not None and face_params is not None
@@ -201,18 +215,38 @@ def adaptive_personalize(imit, prior_smpls=None, prior_poses_path=None,
     if prior_smpls is None:
         prior_smpls = default_prior_poses(imit.src_info["theta"])
     batch = build_meta_pairs(imit, prior_smpls)
+    n = int(prior_smpls.shape[0])
     bg = jnp.broadcast_to(
-        imit.src_info["bg"],
-        (prior_smpls.shape[0],) + imit.src_info["bg"].shape[1:])
+        imit.src_info["bg"], (n,) + imit.src_info["bg"].shape[1:])
 
     tx = optax.adam(lr, b1=0.5, b2=0.999)
     opt_state = tx.init(imit.nets.gen_params)
     step = make_tune_step(imit, tx, face, face_params,
                           front_warp=imit.cfg.front_warp, use_face=use_face)
 
+    bs = min(batch_size, n)
+    steps_per_epoch = -(-n // bs)
+    rng = np.random.default_rng(seed)
     gen_params = imit.nets.gen_params
+    cyc_history = []
+    n_steps = 0
     for epoch in range(epochs):
-        gen_params, opt_state, metrics = step(gen_params, opt_state, batch, bg)
+        perm = rng.permutation(n)
+        epoch_cyc = []
+        for k in range(steps_per_epoch):
+            idx = perm[k * bs:(k + 1) * bs]
+            if len(idx) < bs:   # wrap-pad: keep ONE compiled step shape
+                idx = np.concatenate([idx, perm[:bs - len(idx)]])
+            idx = jnp.asarray(idx)
+            # pseudo_masks stacks src+tsf rows along axis 0 (2n rows)
+            mb = {k: (v[jnp.concatenate([idx, idx + n])]
+                      if k == "pseudo_masks" else v[idx])
+                  for k, v in batch.items()}
+            gen_params, opt_state, metrics = step(
+                gen_params, opt_state, mb, bg[idx])
+            epoch_cyc.append(float(metrics["cyc"]))
+            n_steps += 1
+        cyc_history.append(float(np.mean(epoch_cyc)))
         if verbose:
             print(f"post_tune epoch {epoch}: "
                   + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
@@ -220,14 +254,30 @@ def adaptive_personalize(imit, prior_smpls=None, prior_poses_path=None,
     # refresh cached source features under the tuned generator
     imit.src_info = imit._personalize_jit(
         imit.src_info["img"], imit.src_info["theta"])
+    metrics = dict(metrics)
+    metrics["cyc_history"] = cyc_history
+    metrics["n_steps"] = n_steps
     return metrics
+
+
+def swapper_tune_lr(i: int, init_lr: float = 2e-4,
+                    final_lr: float = 1e-5, fix_iters: int = 25,
+                    total_iters: int = 50) -> float:
+    """The reference swapper post-tune LR schedule (swapper.py:391-397):
+    constant for ``fix_iters``, then a per-iteration linear decay of
+    (init-final)/(total-fix) reaching ``final_lr`` at ``total_iters``."""
+    if i < fix_iters:
+        return init_lr
+    decay = (init_lr - final_lr) / max(total_iters - fix_iters, 1)
+    return max(init_lr - decay * (i - fix_iters + 1), final_lr)
 
 
 def post_tune_swapper(swapper, iters: int = 50, lr: float = 2e-4,
                       verbose: bool = False):
     """Two-image bidirectional cycle tune (Swapper.post_personalize,
     swapper.py:273-476): treat each personalized image as the source for
-    imitating the other's pose, with the same loss family."""
+    imitating the other's pose, with the same loss family and the
+    reference's 25-iter-fixed → linear-decay-to-1e-5 LR schedule."""
     assert swapper.src_info is not None and swapper.tsf_info is not None
 
     # Build a 2-pair batch: src->tgt pose and tgt->src pose.
@@ -244,12 +294,15 @@ def post_tune_swapper(swapper, iters: int = 50, lr: float = 2e-4,
         lambda a, b: jnp.concatenate([a, b], axis=0), batch_a, batch_b)
     bg = jnp.concatenate([swapper.src_info["bg"], swapper.tsf_info["bg"]], 0)
 
-    tx = optax.adam(lr, b1=0.5, b2=0.999)
+    tx = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr, b1=0.5, b2=0.999)
     opt_state = tx.init(swapper.nets.gen_params)
     step = make_tune_step(shim, tx, use_face=False,
                           front_warp=swapper.cfg.front_warp)
     gen_params = swapper.nets.gen_params
     for i in range(iters):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            swapper_tune_lr(i, init_lr=lr, total_iters=iters), jnp.float32)
         gen_params, opt_state, metrics = step(gen_params, opt_state, batch, bg)
         if verbose and i % 10 == 0:
             print(f"swap post_tune {i}: total={float(metrics['total']):.4f}")

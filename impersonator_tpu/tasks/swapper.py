@@ -116,9 +116,16 @@ class Swapper:
             imitator_mod.personalize_core, renderer=self.renderer,
             parents=self.parents, bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks,
             only_vis=cfg.only_vis))
-        self._personalize_jit = lambda img, theta: _pers(
-            self.nets, smpl_params=self.smpl_params, img=img,
-            src_theta=theta)
+        self._personalize_jit = \
+            lambda img, theta, ext_body_mask=None: _pers(
+                self.nets, smpl_params=self.smpl_params, img=img,
+                src_theta=theta, ext_body_mask=ext_body_mask)
+        # --has_detector: MaskRCNN body masks when available
+        # (reference imitator.py:116-122; swapper personalize reuses it)
+        from impersonator_tpu.utils.detectors import (MaskRCNNDetector,
+                                                      build_detector)
+        det = build_detector(cfg.has_detector, cfg.bg_ks)
+        self.detector = det if isinstance(det, MaskRCNNDetector) else None
         _hmr = jax.jit(self.nets.hmr.apply)
         self._hmr_jit = lambda img: _hmr(self.nets.hmr_params, img)
         compute_dtype = (jnp.bfloat16
@@ -138,7 +145,11 @@ class Swapper:
                 resize_img_hwc(np.asarray(img), 224))[None])
         else:
             theta = jnp.asarray(smpl, jnp.float32).reshape(1, 85)
-        state = self._personalize_jit(arr, theta)
+        body_mask = None
+        if self.detector is not None:
+            _, body_mask = self.detector.inference(np.asarray(img))
+            body_mask = jnp.asarray(body_mask, jnp.float32)
+        state = self._personalize_jit(arr, theta, ext_body_mask=body_mask)
         state["part"] = self.renderer.encode_fim(state["fim"], self.part_fn)
         return state
 

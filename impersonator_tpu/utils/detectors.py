@@ -81,9 +81,16 @@ class MaskRCNNDetector:
 
 
 def build_detector(has_detector: bool, ks: int = 13):
+    """--has_detector selects MaskRCNN body masks when torchvision can
+    provide them (reference imitator.py:116-122); otherwise the fallback
+    is LOUD, not silent — the SMPL-silhouette mask changes BG-inpainting
+    quality on real photos."""
     if not has_detector:
         return SilhouetteDetector(ks)
     try:
         return MaskRCNNDetector(ks)
-    except ImportError:
+    except Exception as e:  # torchvision absent or weights unavailable
+        print(f"detectors: --has_detector requested but MaskRCNN is "
+              f"unavailable ({type(e).__name__}: {e}); falling back to "
+              f"the SMPL-silhouette mask")
         return SilhouetteDetector(ks)

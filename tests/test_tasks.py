@@ -199,6 +199,54 @@ def test_graft_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_detector_mask_substitution(assets, capsys):
+    """--has_detector wiring (reference imitator.py:116-122): a detector
+    body mask replaces the cond-morph mask for the BG stream, the
+    fallback is loud when MaskRCNN is unavailable, and personalize
+    actually calls the detector."""
+    import numpy as np
+    from impersonator_tpu.config import TestConfig
+    from impersonator_tpu.tasks.imitator import Imitator
+
+    cfg = TestConfig(image_size=32, repeat_num=1, has_detector=True)
+    imit = Imitator(cfg, assets=assets)
+    # no torchvision MaskRCNN weights here -> loud fallback, detector None
+    out = capsys.readouterr().out
+    assert imit.detector is None and "falling back" in out
+
+    rng = np.random.default_rng(2)
+    src = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    theta = np.zeros((85,), np.float32)
+    theta[0] = 0.9
+    base = imit.personalize(src, src_smpl=theta)
+
+    calls = []
+
+    class FakeDetector:
+        def inference(self, img_hwc):
+            calls.append(img_hwc.shape)
+            m = np.zeros((1, 32, 32, 1), np.float32)
+            m[:, 8:24, 8:24] = 1.0
+            return np.array([8, 24, 8, 24]), m
+
+    imit.detector = FakeDetector()
+    with_det = imit.personalize(src, src_smpl=theta)
+    assert calls == [(32, 32, 3)]
+    # the substituted mask changes the BG-inpainting input/output
+    assert np.abs(np.asarray(with_det["bg"])
+                  - np.asarray(base["bg"])).max() > 1e-6
+
+
+def test_swapper_tune_lr_schedule():
+    """Reference swapper post-tune LR: 2e-4 for 25 iters, then per-iter
+    linear decay reaching 1e-5 at iter 50 (swapper.py:391-397)."""
+    from impersonator_tpu.tasks.post_tune import swapper_tune_lr
+    lrs = [swapper_tune_lr(i) for i in range(50)]
+    assert all(lr == 2e-4 for lr in lrs[:25])
+    assert all(lrs[i + 1] < lrs[i] for i in range(25, 49))
+    assert np.isclose(lrs[49], 1e-5, atol=1e-9)
+
+
 def test_post_tune_improves_cycle_and_affects_inference(assets):
     """adaptive_personalize must (a) reduce the cycle loss over epochs and
     (b) CHANGE subsequent inference outputs — regression for the round-1
@@ -223,10 +271,20 @@ def test_post_tune_improves_cycle_and_affects_inference(assets):
     before = np.asarray(imit.inference_by_smpls(tgt, batch=2))
 
     priors = default_prior_poses(imit.src_info["theta"], n=4)
-    m_first = adaptive_personalize(imit, prior_smpls=priors, epochs=1)
-    m_last = adaptive_personalize(imit, prior_smpls=priors, epochs=4)
+    m_first = adaptive_personalize(imit, prior_smpls=priors, epochs=1,
+                                   batch_size=2)
+    m_last = adaptive_personalize(imit, prior_smpls=priors, epochs=4,
+                                  batch_size=2)
     assert float(m_last["cyc"]) < float(m_first["cyc"]), (
         m_first, m_last)
+    # reference budget: epochs x ceil(n_pairs/batch) minibatch steps
+    # (imitator.py:415-433), and the cycle loss improves across >=3
+    # logged epoch points
+    from impersonator_tpu.tasks.post_tune import post_tune_steps
+    assert m_last["n_steps"] == post_tune_steps(4, 4, 2) == 8
+    hist = m_last["cyc_history"]
+    assert len(hist) == 4
+    assert hist[-1] < hist[0] and hist[-1] < hist[1], hist
 
     after = np.asarray(imit.inference_by_smpls(tgt, batch=2))
     assert np.isfinite(after).all()
