@@ -100,6 +100,20 @@ def main(argv=None):
     visuals_fn = (jax.jit(trainer_mod.make_visuals_fn(trainer))
                   if not (aug or baseline) else None)
 
+    # held-out validation pass (reference _display_visualizer_val,
+    # train.py:91-137): eval-mode losses on the test split, no updates
+    val_loader = eval_fn = None
+    if not (aug or baseline):
+        try:
+            val_ds = dataset_by_name(dataset_name, cfg,
+                                     ids_file=cfg.test_ids_file)
+            val_loader = DataLoader(val_ds, local_bs, num_workers=1,
+                                    seed=cfg.seed + 1,
+                                    mesh=None if multiprocess else mesh)
+            eval_fn = jax.jit(make_step(trainer, eval_only=True))
+        except Exception as e:
+            print(f"train: no validation split ({e}); val pass disabled")
+
     start_epoch = cfg.resolve_load_epoch()
     if start_epoch > 0:
         state = ckpt.load_train_state(state, cfg.expr_dir(), start_epoch)
@@ -133,6 +147,27 @@ def main(argv=None):
                         and time.time() - last_display > cfg.display_freq_s):
                     # periodic visual dump (reference train.py:62-85)
                     vis.save_images(i_step, visuals_fn(state, batch))
+                    if eval_fn is not None and val_loader is not None:
+                        val_errors: dict = {}
+                        n_val = 0
+                        for val_batch in val_loader:
+                            if n_val >= cfg.num_iters_validate:
+                                break
+                            if multiprocess:
+                                val_batch = global_shard_batch(val_batch,
+                                                               mesh)
+                            vm = eval_fn(state, val_batch)
+                            for k, v in vm.items():
+                                val_errors[k] = (val_errors.get(k, 0.0)
+                                                 + float(v))
+                            n_val += 1
+                        if n_val:
+                            val_errors = {k: v / n_val
+                                          for k, v in val_errors.items()}
+                            vis.print_current_errors(epoch, i_step,
+                                                     val_errors, 0.0)
+                            vis.log_scalars(i_step, epoch, val_errors,
+                                            phase="val")
                     last_display = time.time()
                 if time.time() - last_save > cfg.save_latest_freq_s \
                         and is_chief:

@@ -240,21 +240,24 @@ class ImPerFashionPlaceDataset(_Dataset):
         return sample
 
 
-def dataset_by_name(name: str, cfg):
-    """Dataset registry (reference data/dataset.py:15-41)."""
+def dataset_by_name(name: str, cfg, ids_file: str | None = None):
+    """Dataset registry (reference data/dataset.py:15-41).
+    ``ids_file`` overrides the split file (e.g. cfg.test_ids_file for the
+    validation loader)."""
+    ids = ids_file or cfg.train_ids_file
     if name == "iPER":
-        return ImPerDataset(cfg.data_dir, cfg.train_ids_file, cfg.image_size,
+        return ImPerDataset(cfg.data_dir, ids, cfg.image_size,
                             cfg.images_folder, cfg.smpls_folder)
     if name == "iPER_place":
         return ImPerPlaceDataset(
-            ImPerDataset(cfg.data_dir, cfg.train_ids_file, cfg.image_size,
+            ImPerDataset(cfg.data_dir, ids, cfg.image_size,
                          cfg.images_folder, cfg.smpls_folder),
             PlaceDataset(cfg.place_dir, cfg.image_size))
     if name == "fashion":
         return FashionPairDataset(cfg.fashion_dir, image_size=cfg.image_size)
     if name == "iPER_fashion_place":
         return ImPerFashionPlaceDataset(
-            ImPerDataset(cfg.data_dir, cfg.train_ids_file, cfg.image_size,
+            ImPerDataset(cfg.data_dir, ids, cfg.image_size,
                          cfg.images_folder, cfg.smpls_folder),
             FashionPairDataset(cfg.fashion_dir, image_size=cfg.image_size),
             PlaceDataset(cfg.place_dir, cfg.image_size))

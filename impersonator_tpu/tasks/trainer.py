@@ -144,12 +144,15 @@ class Trainer:
             step=jnp.zeros((), jnp.int32))
 
     def epoch_lr(self, epoch: int) -> float:
-        """Linear decay after nepochs_no_decay (trainer :492-507)."""
+        """LR for 0-indexed ``epoch``. Reference semantics: the per-epoch
+        decay (lr_G − final_lr)/nepochs_decay is applied at the END of
+        every 1-indexed epoch > nepochs_no_decay (train.py:51-53,
+        update_learning_rate :492-507) — so epochs 0..nepochs_no_decay
+        run at lr_G and each later epoch runs one step lower, with
+        final_lr reached after the last epoch."""
         cfg = self.cfg
-        if epoch < cfg.nepochs_no_decay:
-            return cfg.lr_G
-        frac = (epoch - cfg.nepochs_no_decay + 1) / max(cfg.nepochs_decay, 1)
-        return cfg.lr_G - frac * (cfg.lr_G - cfg.final_lr)
+        step = (cfg.lr_G - cfg.final_lr) / max(cfg.nepochs_decay, 1)
+        return cfg.lr_G - step * max(0, epoch - cfg.nepochs_no_decay)
 
     def set_lr(self, state: TrainState, lr: float) -> TrainState:
         g_opt = state.g_opt
@@ -211,11 +214,14 @@ def build_trainer(cfg: TrainConfig, assets: SMPLAssets | None = None,
 # The fused train step
 # --------------------------------------------------------------------------
 
-def make_train_step(trainer: Trainer, train_d: bool = True):
+def make_train_step(trainer: Trainer, train_d: bool = True,
+                    eval_only: bool = False):
     """Build the jittable step: (state, batch) -> (state, metrics).
 
     batch: {'images': (B, 2, S, S, 3), 'smpls': (B, 2, 85)} — the iPER
     pair-sampler contract (impersonator_trainer.set_input :289-314).
+    ``eval_only``: return (state, batch) -> metrics computing the same
+    losses with NO updates (the validation pass).
     """
     cfg = trainer.cfg
     gen, disc = trainer.generator, trainer.discriminator
@@ -329,6 +335,24 @@ def make_train_step(trainer: Trainer, train_d: bool = True):
             * cfg.lambda_D_prob
         return loss, {"d_real": jnp.mean(d_real), "d_fake": jnp.mean(d_fake),
                       "d_loss": loss}
+
+    def eval_step(state: TrainState, batch):
+        """Eval-mode G/D losses on a held-out batch, NO parameter updates
+        (the reference's _display_visualizer_val, train.py:91-137)."""
+        images, smpls = batch["images"], batch["smpls"]
+        src_img, tsf_img = images[:, 0], images[:, 1]
+        inputs = body_recovery_flow(
+            renderer, smpl_params, parents, src_img, tsf_img,
+            smpls[:, 0], smpls[:, 1], bg_both=cfg.bg_both)
+        _, (metrics, fake_tsf) = g_loss_fn(
+            state.g_params, state.d_params, inputs, src_img, tsf_img)
+        tsf_cond = inputs["input_G_tsf"][..., 3:]
+        _, d_metrics = d_loss_fn(state.d_params, fake_tsf, tsf_img, tsf_cond)
+        metrics.update(d_metrics)
+        return metrics
+
+    if eval_only:
+        return eval_step
 
     def train_step(state: TrainState, batch):
         images, smpls = batch["images"], batch["smpls"]

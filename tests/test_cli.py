@@ -64,6 +64,8 @@ def test_train_cli_synthetic(tmp_path):
         "--d_layers", "2", "--nepochs_no_decay", "1", "--nepochs_decay", "0",
         "--checkpoints_dir", str(tmp_path / "ckpt"), "--name", "smoke",
         "--n_threads", "1",
+        # fire the display/val cadence on the very first step
+        "--display_freq_s", "0", "--num_iters_validate", "1",
         # heavy loss nets off for CPU speed
         "--no-use_vgg", "--no-use_face", "--no-use_style",
     ])
@@ -71,6 +73,12 @@ def test_train_cli_synthetic(tmp_path):
     # per-epoch checkpoint written with the reference naming contract
     expr = tmp_path / "ckpt" / "smoke"
     assert any(f.startswith("net_epoch_1_id_G") for f in os.listdir(expr))
+    # the held-out validation pass logged eval-mode scalars
+    # (reference _display_visualizer_val, train.py:91-137)
+    log = (expr / "loss_log.jsonl").read_text().splitlines()
+    val_recs = [json.loads(ln) for ln in log
+                if json.loads(ln).get("phase") == "val"]
+    assert val_recs and np.isfinite(val_recs[0]["g_total"])
 
 
 def test_train_cli_ablation(tmp_path):

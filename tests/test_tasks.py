@@ -199,6 +199,32 @@ def test_graft_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_epoch_lr_matches_reference_schedule():
+    """Reference decay: lr -= (lr_G-final)/nepochs_decay at the END of
+    each 1-indexed epoch > nepochs_no_decay (train.py:51-53,
+    update_learning_rate :492-507) — epochs 0..no_decay run at lr_G."""
+    from impersonator_tpu import assets as A
+    from impersonator_tpu.config import TrainConfig
+    from impersonator_tpu.tasks import trainer as T
+
+    cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=2, d_layers=2,
+                      use_vgg=False, use_style=False, use_face=False,
+                      nepochs_no_decay=5, nepochs_decay=25,
+                      lr_G=2e-4, final_lr=2e-6)
+    tr = T.build_trainer(cfg, A.synthetic_assets())
+    # reference simulation over 1-indexed epochs
+    lr, ref = 2e-4, {}
+    for i_epoch in range(1, 31):
+        ref[i_epoch - 1] = lr            # LR used DURING this epoch
+        if i_epoch > 5:
+            lr -= (2e-4 - 2e-6) / 25
+    for e in range(30):
+        assert np.isclose(tr.epoch_lr(e), ref[e], rtol=1e-9), (
+            e, tr.epoch_lr(e), ref[e])
+    assert tr.epoch_lr(5) == 2e-4        # first decay epoch still at lr_G
+    assert np.isclose(tr.epoch_lr(30), 2e-6)   # post-schedule floor
+
+
 def test_detector_mask_substitution(assets, capsys):
     """--has_detector wiring (reference imitator.py:116-122): a detector
     body mask replaces the cond-morph mask for the BG stream, the
