@@ -809,3 +809,140 @@ def facenet_ir_forward(sd, x):
                      sd["last_bn.running_var"], sd["last_bn.weight"],
                      sd["last_bn.bias"], training=False, eps=EPS)
     return v
+
+
+# ---------------------------------------------------------------------------
+# End-to-end imitation-chain oracle (personalize -> flow -> warp ->
+# cached-feature LWB decode -> compositing): torch semantics of the full
+# reference pipeline — cal_bc_transform (nmr.py:617-659), torch-1.2
+# grid_sample(align_corners=True), ImpersonatorGenerator.inference
+# (generator.py:277-301) and the mask compositing of imitator.forward
+# (imitator.py:326-342). Used to prove the COMPOSITION of the jax stack
+# (not just each net individually) against torch on random weights.
+# ---------------------------------------------------------------------------
+
+def morph_torch(mask, ks, mode="erode"):
+    """Box-count morphology matching impersonator_tpu.ops.morphology.morph
+    (erode pads 1, dilate pads 0; threshold on the ks² window sum)."""
+    pad = ks // 2
+    pad_value = 1.0 if mode == "erode" else 0.0
+    x = F.pad(mask, (pad, pad, pad, pad), value=pad_value)
+    sums = F.avg_pool2d(x, ks, stride=1) * float(ks * ks)
+    if mode == "erode":
+        return (sums > float(ks * ks) - 0.5).to(mask.dtype)
+    return (sums >= 1.0).to(mask.dtype)
+
+
+def cal_bc_transform_torch(src_f2pts, fim, wim, image_size):
+    """SMPLRenderer.cal_bc_transform (nmr.py:617-659): per covered pixel,
+    barycentric blend of the 3 source-image positions of its face."""
+    bs = src_f2pts.shape[0]
+    T = -2 * torch.ones((bs, image_size * image_size, 2),
+                        dtype=src_f2pts.dtype)
+    for i in range(bs):
+        fidx = fim[i].long().reshape(-1)
+        w = wim[i].reshape(-1, 3)
+        mask = fidx != -1
+        ex_idx = fidx[mask]
+        ex_w = w[mask]
+        T[i, mask] = (src_f2pts[i][ex_idx] * ex_w[:, :, None]).sum(dim=1)
+    return T.view(bs, image_size, image_size, 2)
+
+
+def _resize_T(T, h, w):
+    """ImpersonatorGenerator.resize_trans (generator.py:303-310)."""
+    Ts = T.permute(0, 3, 1, 2)
+    Ts = F.interpolate(Ts, size=(h, w), mode="bilinear", align_corners=True)
+    return Ts.permute(0, 2, 3, 1)
+
+
+def _stn(x, T):
+    """torch-1.2 default grid_sample semantics (align_corners=True,
+    zero padding; generator.py:312-315 + SURVEY §7.4)."""
+    return F.grid_sample(x, T, align_corners=True)
+
+
+def resunet_encode(sd, prefix, x, repeat=2, n_down=3):
+    """ResUnetGenerator.inference (generator.py:136-147): encoder stack
+    outs + per-resblock outs (the cached source features)."""
+    enc = []
+    h = F.relu(_inorm(sd, f"{prefix}.encoders.0.1",
+                      _conv(sd, f"{prefix}.encoders.0.0", x, 1, 3)))
+    enc.append(h)
+    for i in range(1, n_down + 1):
+        h = F.relu(_inorm(sd, f"{prefix}.encoders.{i}.1",
+                          _conv(sd, f"{prefix}.encoders.{i}.0", h, 2, 1)))
+        enc.append(h)
+    res = []
+    for i in range(repeat):
+        r = F.relu(_inorm(sd, f"{prefix}.resnets.{i}.main.1",
+                          _conv(sd, f"{prefix}.resnets.{i}.main.0", h, 1, 1)))
+        r = _inorm(sd, f"{prefix}.resnets.{i}.main.4",
+                   _conv(sd, f"{prefix}.resnets.{i}.main.3", r, 1, 1))
+        h = h + r
+        res.append(h)
+    return enc, res
+
+
+def resunet_decode_regress(sd, prefix, h, enc, n_down=3):
+    """ResUnetGenerator.decode + regress (generator.py:174-186)."""
+    for i in range(n_down):
+        h = F.relu(_inorm(sd, f"{prefix}.decoders.{i}.1",
+                          _convt(sd, f"{prefix}.decoders.{i}.0", h)))
+        h = torch.cat([enc[n_down - 1 - i], h], dim=1)
+        h = F.relu(_inorm(sd, f"{prefix}.skippers.{i}.1",
+                          _conv(sd, f"{prefix}.skippers.{i}.0", h, 1, 1)))
+    rgb = torch.tanh(_conv(sd, f"{prefix}.img_reg.0", h, 1, 3))
+    mask = torch.sigmoid(_conv(sd, f"{prefix}.attetion_reg.0", h, 1, 3))
+    return rgb, mask
+
+
+def generator_inference_torch(sd, src_enc, src_res, tsf_inputs, T,
+                              repeat=2, n_down=3):
+    """ImpersonatorGenerator.inference (generator.py:277-301): tsf stream
+    with per-stage Liquid Warping adds from the cached source features."""
+    tsf_x = F.relu(_inorm(sd, "tsf_model.encoders.0.1",
+                          _conv(sd, "tsf_model.encoders.0.0",
+                                tsf_inputs, 1, 3)))
+    tsf_enc = [tsf_x]
+    for i in range(1, n_down + 1):
+        src_x = src_enc[i]
+        warp = _stn(src_x, _resize_T(T, src_x.shape[2], src_x.shape[3]))
+        tsf_x = F.relu(_inorm(sd, f"tsf_model.encoders.{i}.1",
+                              _conv(sd, f"tsf_model.encoders.{i}.0",
+                                    tsf_x, 2, 1))) + warp
+        tsf_enc.append(tsf_x)
+    T_scale = _resize_T(T, src_enc[-1].shape[2], src_enc[-1].shape[3])
+    for i in range(repeat):
+        r = F.relu(_inorm(sd, f"tsf_model.resnets.{i}.main.1",
+                          _conv(sd, f"tsf_model.resnets.{i}.main.0",
+                                tsf_x, 1, 1)))
+        r = _inorm(sd, f"tsf_model.resnets.{i}.main.4",
+                   _conv(sd, f"tsf_model.resnets.{i}.main.3", r, 1, 1))
+        tsf_x = tsf_x + r + _stn(src_res[i], T_scale)
+    return resunet_decode_regress(sd, "tsf_model", tsf_x, tsf_enc)
+
+
+def imitate_chain_torch(sd, src_img, src_cond, src_p2verts, tsf_fim,
+                        tsf_wim, tsf_cond, image_size,
+                        bg_ks=13, ft_ks=3, repeat=2):
+    """The full chain downstream of the rasterizer, in torch:
+    personalize (bg inpaint via the generator BG stream + source feature
+    cache, imitator.py:83-145) then one imitation step
+    (imitator.py:236-342). Returns (preds, T, bg, syn)."""
+    bg_mask = morph_torch(src_cond[:, -1:], bg_ks, "erode")
+    bg_inputs = torch.cat([src_img * bg_mask, bg_mask], dim=1)
+    bg = bg_forward(sd, bg_inputs, repeat=repeat)
+
+    ft_mask = 1.0 - morph_torch(src_cond[:, -1:], ft_ks, "erode")
+    src_inputs = torch.cat([src_img * ft_mask, src_cond], dim=1)
+    src_enc, src_res = resunet_encode(sd, "src_model", src_inputs,
+                                      repeat=repeat)
+
+    T = cal_bc_transform_torch(src_p2verts, tsf_fim, tsf_wim, image_size)
+    syn = _stn(src_img, T)
+    tsf_inputs = torch.cat([syn, tsf_cond], dim=1)
+    color, mask = generator_inference_torch(sd, src_enc, src_res,
+                                            tsf_inputs, T, repeat=repeat)
+    preds = mask * bg + (1 - mask) * color
+    return preds, T, bg, syn
