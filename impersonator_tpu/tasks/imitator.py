@@ -175,7 +175,18 @@ def personalize_core(nets: ImitatorNets, renderer: SMPLRenderer,
     if only_vis:
         p2verts = renderer.get_vis_f2pts(p2verts, fim)
     cond = renderer.encode_fim(fim)  # (1, S, S, 3)
+    return personalize_from_raster(
+        nets, img, info, fim, wim, p2verts, cond, bg_ks=bg_ks, ft_ks=ft_ks,
+        compute_dtype=compute_dtype, ext_body_mask=ext_body_mask)
 
+
+def personalize_from_raster(nets: "ImitatorNets", img, info, fim, wim,
+                            p2verts, cond, bg_ks: int, ft_ks: int,
+                            compute_dtype=None, ext_body_mask=None):
+    """The continuous tail of :func:`personalize_core` — everything after
+    the rasterizer. Split out so parity tooling can run this part under a
+    different precision than the (separately bit-verified) raster
+    products."""
     if ext_body_mask is not None:
         body_mask = ext_body_mask
         bg_mask = 1.0 - body_mask
@@ -222,11 +233,20 @@ def imitate_core(nets: ImitatorNets, renderer: SMPLRenderer,
     over the frame axis (generator.inference path, imitator.py:326-336).
     Returns preds (N, S, S, 3) in [-1, 1].
     """
-    n = tsf_theta.shape[0]
     info = smpl_ops.get_details(smpl_params, tsf_theta, parents)
     _, fim, wim = renderer.render_fim_wim(info["cam"], info["verts"])
     cond = renderer.encode_fim(fim)
+    return imitate_from_raster(nets, renderer, src_state, fim, wim, cond,
+                               front_warp=front_warp,
+                               compute_dtype=compute_dtype)
 
+
+def imitate_from_raster(nets: "ImitatorNets", renderer: SMPLRenderer,
+                        src_state, fim, wim, cond,
+                        front_warp: bool = False, compute_dtype=None):
+    """Continuous tail of :func:`imitate_core` after the tsf raster —
+    flow build, warp, cached-feature LWB decode, compositing."""
+    n = fim.shape[0]
     p2verts = jnp.broadcast_to(
         src_state["p2verts"], (n,) + src_state["p2verts"].shape[1:])
     t = renderer.cal_bc_transform(p2verts, fim, wim)

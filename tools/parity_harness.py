@@ -44,8 +44,13 @@ def main():
     ap.add_argument("--image_size", type=int, default=256)
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     from flax import serialization
+
+    # parity comparisons need true fp32 convs: this backend's default
+    # conv/matmul precision is bf16-like even on CPU
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from impersonator_tpu.config import TestConfig
     from impersonator_tpu.metrics import ssim, psnr
