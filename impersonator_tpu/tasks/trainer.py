@@ -214,19 +214,16 @@ def build_trainer(cfg: TrainConfig, assets: SMPLAssets | None = None,
 # The fused train step
 # --------------------------------------------------------------------------
 
-def make_train_step(trainer: Trainer, train_d: bool = True,
-                    eval_only: bool = False):
-    """Build the jittable step: (state, batch) -> (state, metrics).
+def make_loss_fns(trainer: Trainer):
+    """(g_loss_fn, d_loss_fn) over PRECOMPUTED body_recovery_flow inputs.
 
-    batch: {'images': (B, 2, S, S, 3), 'smpls': (B, 2, 85)} — the iPER
-    pair-sampler contract (impersonator_trainer.set_input :289-314).
-    ``eval_only``: return (state, batch) -> metrics computing the same
-    losses with NO updates (the validation pass).
-    """
+    Exposed separately from :func:`make_train_step` so sharding
+    equivalence checks can grad the REAL loss on fixed inputs — the
+    rasterizer's near-tie z-buffer pixels can legitimately flip under
+    different GSPMD partitionings, so cross-sharding gradient comparison
+    is only well-defined given fixed inputs (driver dryrun stage 3)."""
     cfg = trainer.cfg
     gen, disc = trainer.generator, trainer.discriminator
-    renderer, smpl_params = trainer.renderer, trainer.smpl_params
-    parents = trainer.assets.parents
 
     # Mixed-precision policy for the train step (cfg.train_dtype): fp32
     # master params are cast to bf16 for the G/D/VGG forwards; grads flow
@@ -335,6 +332,23 @@ def make_train_step(trainer: Trainer, train_d: bool = True,
             * cfg.lambda_D_prob
         return loss, {"d_real": jnp.mean(d_real), "d_fake": jnp.mean(d_fake),
                       "d_loss": loss}
+
+    return g_loss_fn, d_loss_fn
+
+
+def make_train_step(trainer: Trainer, train_d: bool = True,
+                    eval_only: bool = False):
+    """Build the jittable step: (state, batch) -> (state, metrics).
+
+    batch: {'images': (B, 2, S, S, 3), 'smpls': (B, 2, 85)} — the iPER
+    pair-sampler contract (impersonator_trainer.set_input :289-314).
+    ``eval_only``: return (state, batch) -> metrics computing the same
+    losses with NO updates (the validation pass).
+    """
+    cfg = trainer.cfg
+    renderer, smpl_params = trainer.renderer, trainer.smpl_params
+    parents = trainer.assets.parents
+    g_loss_fn, d_loss_fn = make_loss_fns(trainer)
 
     def eval_step(state: TrainState, batch):
         """Eval-mode G/D losses on a held-out batch, NO parameter updates
