@@ -24,8 +24,10 @@ Two generations:
   rasterize_cuda_kernel.cu:160-170), independent of slot order.
 
 Measured on v5e at 256², batch 16, 12.9k faces: 25ms/batch vs 222ms for
-the fixed-slot pipeline (the pair-sort and its 226MB gather dominated),
-bit-exact against the brute z-buffer. ``interpret=True`` runs either
+the fixed-slot pipeline (the pair-sort and its 226MB gather dominated).
+Parity vs the brute z-buffer on TPU: fim bit-exact (face ids match
+everywhere), wim within 2.5e-3 (barycentric solve order differs;
+bench.py asserts < 5e-3 every run). ``interpret=True`` runs either
 kernel on CPU for tests.
 """
 
