@@ -60,6 +60,60 @@ def look_at_on_axis(vertices: jax.Array, eye_z_value: float = DEFAULT_EYE_Z):
     return vertices + jnp.asarray([0.0, 0.0, eye_z_value], vertices.dtype)
 
 
+def look(vertices: jax.Array, eye, direction=(0.0, 1.0, 0.0),
+         up=(0.0, 1.0, 0.0)):
+    """"Look" transform: like :func:`look_at` but the camera z-axis is a
+    *direction* rather than a target point (neural_renderer look.py:6-57).
+
+    vertices: (B, N, 3).
+    """
+    eye = jnp.asarray(eye, vertices.dtype)
+    direction = jnp.asarray(direction, vertices.dtype)
+    up = jnp.asarray(up, vertices.dtype)
+
+    def _norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-5)
+
+    z_axis = _norm(direction)
+    x_axis = _norm(jnp.cross(up, z_axis))
+    y_axis = _norm(jnp.cross(z_axis, x_axis))
+    r = jnp.stack([x_axis, y_axis, z_axis], axis=0)  # rows are camera axes
+    return (vertices - eye) @ r.T
+
+
+def perspective(vertices: jax.Array, angle: float = 30.0):
+    """Perspective divide with a given half viewing angle
+    (neural_renderer perspective.py:6-22): x,y := x,y / (z * tan(angle)).
+
+    vertices: (B, N, 3)."""
+    width = math.tan(math.radians(angle))
+    z = vertices[..., 2]
+    x = vertices[..., 0] / z / width
+    y = vertices[..., 1] / z / width
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def get_points_from_angles(distance, elevation, azimuth, degrees: bool = True):
+    """Spherical camera position -> eye xyz
+    (neural_renderer get_points_from_angles.py:6-26). Accepts scalars or
+    arrays (broadcast); returns a (3,) or (N, 3) array."""
+    distance = jnp.asarray(distance, jnp.float32)
+    elevation = jnp.asarray(elevation, jnp.float32)
+    azimuth = jnp.asarray(azimuth, jnp.float32)
+    if degrees:
+        elevation = elevation * (jnp.pi / 180.0)
+        azimuth = azimuth * (jnp.pi / 180.0)
+    pts = jnp.stack(
+        [
+            distance * jnp.cos(elevation) * jnp.sin(azimuth),
+            distance * jnp.sin(elevation),
+            -distance * jnp.cos(elevation) * jnp.cos(azimuth),
+        ],
+        axis=-1,
+    )
+    return pts
+
+
 def euler_to_matrix(rt, deg: bool = True) -> jax.Array:
     """Euler angles (3,) -> rotation matrix (3,3).
 

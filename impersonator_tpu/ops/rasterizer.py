@@ -222,6 +222,30 @@ def render_silhouette(fim: jax.Array) -> jax.Array:
     return (fim >= 0).astype(jnp.float32)
 
 
+def depth_from_fim_wim(face_verts: jax.Array, fim: jax.Array,
+                       wim: jax.Array, far: float = DEFAULT_FAR) -> jax.Array:
+    """Perspective-correct depth map reconstructed from (fim, wim).
+
+    The z-buffer scan already resolved visibility; the winning depth is
+    recomputed from the winning face's vertex z and its barycentric
+    weights exactly as the CUDA kernel's 1/zp = Σ w_k/z_k
+    (rasterize_cuda_kernel.cu:154-157) — one gather, no second raster
+    pass. Implements the capability the reference left unimplemented
+    (``SMPLRenderer.render_depth`` raises NotImplementedError,
+    utils/nmr.py:280-293; the underlying ``rasterize_depth`` exists only
+    in neural_renderer's API).
+
+    face_verts: (B, nf, 3, 3); fim: (B, S, S); wim: (B, S, S, 3).
+    Returns (B, S, S) float32, ``far`` on background.
+    """
+    zv = face_verts[..., 2]                                    # (B, nf, 3)
+    safe = jnp.clip(fim, 0, None)
+    z_face = jax.vmap(lambda z, f: z[f])(zv, safe)             # (B, S, S, 3)
+    inv_z = jnp.sum(wim / z_face, axis=-1)
+    inv_z = jnp.where(inv_z == 0.0, 1.0, inv_z)
+    return jnp.where(fim >= 0, 1.0 / inv_z, far).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("image_size", "far", "tile", "cap",
                                    "span", "ex"))
 def raster_tile_stats(face_verts: jax.Array, image_size: int = 256,

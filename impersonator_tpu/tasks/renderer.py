@@ -222,6 +222,70 @@ class SMPLRenderer:
                    + da * db * gather(ia + 1, ib + 1))
         return img * (fim >= 0).astype(img.dtype)[..., None]
 
+    def render_depth(self, cam, verts):
+        """Perspective-correct depth map (B, S, S), ``far`` on
+        background. Implements what the reference's facade stubs out
+        (``SMPLRenderer.render_depth`` raises NotImplementedError,
+        utils/nmr.py:280-293) by reconstructing depth from the z-buffer
+        winners — see :func:`rast.depth_from_fim_wim`."""
+        f2verts, fim, wim = self.render_fim_wim(cam, verts)
+        return rast.depth_from_fim_wim(f2verts, fim, wim, self.far)
+
+    def render_rgb(self, cam, verts, images, intensity_ambient: float = 1.0,
+                   intensity_directional: float = 0.0):
+        """Full textured debug render — extract per-face texels from
+        ``images``, light them, rasterize (nr.Renderer.render,
+        renderer.py:11-?, as driven by the reference's debug overlay
+        tool tools/visual_iPER.py). Lambert normals are taken in raster
+        space (post-projection), which for the weak-perspective camera
+        differs from the reference's world-space normals only by the
+        fixed look_at rotation — fold it into ``direction`` if exact
+        shading parity matters; the default is unlit (ambient 1).
+
+        Returns (rgb (B,S,S,C), silhouette (B,S,S))."""
+        f2verts, fim, wim = self.render_fim_wim(cam, verts)
+        tex = self.extract_texture(images, cam, verts)
+        if intensity_ambient != 1.0 or intensity_directional != 0.0:
+            tex = lighting(f2verts, tex,
+                           intensity_ambient=intensity_ambient,
+                           intensity_directional=intensity_directional)
+        return (self.render_textured(fim, wim, tex),
+                rast.render_silhouette(fim))
+
+
+def lighting(face_verts, tex, intensity_ambient: float = 0.5,
+             intensity_directional: float = 0.5,
+             color_ambient=(1.0, 1.0, 1.0),
+             color_directional=(1.0, 1.0, 1.0),
+             direction=(0.0, 1.0, 1.0)):
+    """Ambient + directional per-face lighting on texel colors — the
+    debug-render path of the reference renderer (neural_renderer/
+    lighting.py:6-58, applied by renderer.py's RGB mode before
+    rasterization). Flat shading: one Lambert term per face from its
+    geometric normal; texels of the face are scaled uniformly.
+
+    face_verts (B, nf, 3, 3) camera-space xyz; tex (B, nf, T*T, C)
+    from :meth:`SMPLRenderer.extract_texture`. Pure elementwise +
+    one small cross product per face — XLA fuses it into the texture
+    gather, no MXU involvement.
+    """
+    amb = jnp.asarray(color_ambient, tex.dtype) * intensity_ambient
+    light = jnp.broadcast_to(amb, face_verts.shape[:2] + (3,))
+    if intensity_directional != 0.0:
+        v10 = face_verts[:, :, 1] - face_verts[:, :, 0]
+        v21 = face_verts[:, :, 2] - face_verts[:, :, 1]
+        n = jnp.cross(v10, v21)
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-10)
+        d = jnp.asarray(direction, tex.dtype)
+        d = d / (jnp.linalg.norm(d) + 1e-10)
+        cos = jax.nn.relu(jnp.einsum("bfc,c->bf", n, d))
+        light = light + (intensity_directional
+                         * jnp.asarray(color_directional, tex.dtype)
+                         * cos[..., None])
+    if tex.shape[-1] == 3:
+        return tex * light[:, :, None, :]
+    return tex * jnp.mean(light, axis=-1)[:, :, None, None]
+
 
 def batched_pinned(state: SMPLRenderer):
     """Convenience: jitted (cam, verts) -> (f2verts, fim, wim) closure."""

@@ -287,6 +287,112 @@ def test_render_textured_roundtrip(assets):
     assert np.abs(out[0][~mask]).max() == 0.0
 
 
+def test_lighting_and_render_rgb(assets):
+    """Ambient+directional lighting semantics (neural_renderer/
+    lighting.py:6-58): pure ambient scales texels uniformly; adding a
+    directional term only ever brightens (ReLU Lambert); render_rgb
+    composes extract->light->rasterize and masks the background."""
+    from impersonator_tpu.ops import smpl as smpl_ops
+    from impersonator_tpu.tasks import renderer as R
+
+    r = R.SMPLRenderer.create(assets, image_size=64, tex_size=3)
+    params = smpl_ops.SMPLParams.from_assets(assets)
+    theta = np.zeros((1, 85), np.float32)
+    theta[:, 0] = 0.9
+    info = smpl_ops.get_details(params, jnp.asarray(theta), assets.parents)
+    img = jnp.ones((1, 64, 64, 3)) * 0.5
+
+    f2verts, fim, wim = r.render_fim_wim(info["cam"], info["verts"])
+    tex = r.extract_texture(img, info["cam"], info["verts"])
+
+    amb = R.lighting(f2verts, tex, intensity_ambient=0.5,
+                     intensity_directional=0.0)
+    np.testing.assert_allclose(np.asarray(amb), np.asarray(tex) * 0.5,
+                               atol=1e-6)
+    lit = R.lighting(f2verts, tex, intensity_ambient=0.5,
+                     intensity_directional=0.5)
+    d = np.asarray(lit) - np.asarray(amb)
+    assert d.min() >= -1e-6            # ReLU Lambert never darkens
+    assert d.max() > 0.01              # some faces face the light
+
+    rgb, sil = r.render_rgb(info["cam"], info["verts"], img,
+                            intensity_ambient=0.5,
+                            intensity_directional=0.5)
+    rgb, sil = np.asarray(rgb), np.asarray(sil)
+    mask = np.asarray(fim[0]) >= 0
+    assert sil.shape == (1, 64, 64)
+    np.testing.assert_array_equal(sil[0] > 0.5, mask)
+    assert np.abs(rgb[0][~mask]).max() == 0.0
+    assert rgb[0][mask].mean() > 0.1   # lit texels are visible
+
+
+def test_render_depth(assets):
+    """Depth map semantics (CUDA kernel's 1/zp = sum w_k/z_k,
+    rasterize_cuda_kernel.cu:154-157; the reference facade stubs
+    render_depth out, nmr.py:280-293): background == far, covered pixels
+    lie within the face-vertex z range, and the covered set matches fim."""
+    from impersonator_tpu.ops import smpl as smpl_ops
+    from impersonator_tpu.tasks import renderer as R
+
+    r = R.SMPLRenderer.create(assets, image_size=64)
+    params = smpl_ops.SMPLParams.from_assets(assets)
+    theta = np.zeros((1, 85), np.float32)
+    theta[:, 0] = 0.9
+    info = smpl_ops.get_details(params, jnp.asarray(theta), assets.parents)
+    f2verts, fim, wim = r.render_fim_wim(info["cam"], info["verts"])
+
+    depth = np.asarray(r.render_depth(info["cam"], info["verts"]))
+    mask = np.asarray(fim[0]) >= 0
+    assert depth.shape == (1, 64, 64)
+    assert np.all(depth[0][~mask] == r.far)
+    zv = np.asarray(f2verts[..., 2])
+    assert depth[0][mask].min() >= zv.min() - 1e-4
+    assert depth[0][mask].max() <= zv.max() + 1e-4
+    # the person is in front of the far plane
+    assert depth[0][mask].max() < r.far
+
+
+def test_projection_helpers(rng):
+    """look / perspective / get_points_from_angles parity with the
+    neural_renderer formulas (look.py:6-57, perspective.py:6-22,
+    get_points_from_angles.py:6-26)."""
+    from impersonator_tpu.ops import projection as P
+
+    v = jnp.asarray(rng.uniform(-1, 1, (2, 5, 3)), jnp.float32)
+
+    # look with direction == (at - eye) equals look_at for any target
+    eye = (0.3, -0.2, -2.0)
+    at = (0.1, 0.4, 0.5)
+    direction = tuple(a - e for a, e in zip(at, eye))
+    np.testing.assert_allclose(
+        np.asarray(P.look(v, eye, direction)),
+        np.asarray(P.look_at(v, eye, at)), atol=1e-5)
+
+    # perspective divide: x,y scaled by 1/(z tan(angle)); z preserved
+    vp = jnp.asarray(rng.uniform(0.5, 2.0, (1, 4, 3)), jnp.float32)
+    out = np.asarray(P.perspective(vp, angle=30.0))
+    w = np.tan(np.radians(30.0))
+    np.testing.assert_allclose(out[..., 0],
+                               np.asarray(vp[..., 0] / vp[..., 2]) / w,
+                               atol=1e-5)
+    np.testing.assert_allclose(out[..., 2], np.asarray(vp[..., 2]))
+
+    # spherical eye: elevation 0, azimuth 0 -> (0, 0, -d); elevation 90
+    # -> (0, d, 0)
+    np.testing.assert_allclose(
+        np.asarray(P.get_points_from_angles(2.0, 0.0, 0.0)),
+        [0.0, 0.0, -2.0], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(P.get_points_from_angles(2.0, 90.0, 0.0)),
+        [0.0, 2.0, 0.0], atol=1e-6)
+    # batched arrays broadcast to (N, 3)
+    pts = P.get_points_from_angles(jnp.ones(3) * 2.0, jnp.zeros(3),
+                                   jnp.asarray([0.0, 90.0, 180.0]))
+    assert pts.shape == (3, 3)
+    np.testing.assert_allclose(np.asarray(pts[1]), [2.0, 0.0, 0.0],
+                               atol=1e-6)
+
+
 def test_save_obj_with_texture_atlas(tmp_path, assets):
     """OBJ/MTL/PNG export of an extracted texture (reference
     neural_renderer/save_obj.py create_texture_image path)."""
