@@ -18,13 +18,20 @@ import jax.numpy as jnp
 def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
     """Bilinear sample ``x`` at ``grid`` positions.
 
-    x:    (B, H, W, C)
-    grid: (B, Ho, Wo, 2) in [-1, 1]; grid[..., 0] = x (width) coordinate,
+    x:    (B, H, W, C) — B may be 1 with a batched grid: the gather
+          broadcasts over the batch axis WITHOUT materializing the
+          broadcast image. (Materializing first is a TPU perf trap: XLA
+          lays broadcast buffers out batch-minor, which turns every
+          gathered C-element row into C strided reads — measured 40×
+          slower inside the fused imitation step.)
+    grid: (N, Ho, Wo, 2) in [-1, 1]; grid[..., 0] = x (width) coordinate,
           grid[..., 1] = y — the torch convention.
     Zero padding: any corner outside the image contributes 0, so grids set
     to -2 (the background flow) sample exactly 0.
     """
     b, h, w, c = x.shape
+    gb = grid.shape[0]
+    ob = max(b, gb)
     ho, wo = grid.shape[1], grid.shape[2]
 
     # align_corners=True: -1 -> 0, +1 -> size-1
@@ -44,9 +51,9 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
         valid = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1))
         xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-        lin = (yi * w + xi).reshape(b, ho * wo)
+        lin = (yi * w + xi).reshape(gb, ho * wo)
         vals = jnp.take_along_axis(flat, lin[..., None], axis=1)
-        vals = vals.reshape(b, ho, wo, c)
+        vals = vals.reshape(ob, ho, wo, c)
         return vals * valid[..., None].astype(x.dtype)
 
     v00 = corner(x0, y0)

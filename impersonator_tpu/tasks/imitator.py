@@ -246,22 +246,21 @@ def imitate_from_raster(nets: "ImitatorNets", renderer: SMPLRenderer,
                         front_warp: bool = False, compute_dtype=None):
     """Continuous tail of :func:`imitate_core` after the tsf raster —
     flow build, warp, cached-feature LWB decode, compositing."""
-    n = fim.shape[0]
-    p2verts = jnp.broadcast_to(
-        src_state["p2verts"], (n,) + src_state["p2verts"].shape[1:])
-    t = renderer.cal_bc_transform(p2verts, fim, wim)
+    # Source-side arrays stay batch-1: grid_sample / correspondence_flow
+    # broadcast the gather over the frame axis themselves. Materializing
+    # jnp.broadcast_to first costs ~39ms/step at batch 16 on v5e — XLA
+    # lays the broadcast buffers out batch-minor and the per-pixel
+    # gathers degrade to strided scalar reads (profiled via xplane).
+    t = renderer.cal_bc_transform(src_state["p2verts"], fim, wim)
 
-    src_img = jnp.broadcast_to(src_state["img"], (n,) + src_state["img"].shape[1:])
-    tsf_img = grid_sample(src_img, t)
+    tsf_img = grid_sample(src_state["img"], t)
     tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
 
     enc, res = src_state["feats"]
-    enc = [jnp.broadcast_to(e, (n,) + e.shape[1:]) for e in enc]
-    res = [jnp.broadcast_to(r, (n,) + r.shape[1:]) for r in res]
     tsf_color, tsf_mask = gen_apply(
         nets, compute_dtype, enc, res, tsf_inputs, t, method="inference")
 
-    bg = jnp.broadcast_to(src_state["bg"], (n,) + src_state["bg"].shape[1:])
+    bg = src_state["bg"]
     preds = tsf_mask * bg + (1.0 - tsf_mask) * tsf_color
 
     if front_warp:

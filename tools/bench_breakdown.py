@@ -50,10 +50,19 @@ def main():
 
     info = smpl_ops.get_details(imit.smpl_params, theta, imit.parents)
 
-    # 2. rasterizer
+    # 2. rasterizer — the PRODUCTION path the renderer actually picks
+    # (bucket Pallas on TPU, fixed-slot tiled XLA on CPU); timing the
+    # other path here made the stage table lie (generator came out
+    # negative)
     fv = rast.project_to_raster_space(info["verts"], info["cam"],
                                       imit.smpl_params.faces)
-    rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(f, 256))
+    tile, cap, span = imit.renderer.tile_params()
+    if jax.default_backend() == "tpu":
+        rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_bucket(
+            f, 256, tile=tile, span=span, txb=4))
+    else:
+        rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
+            f, 256, tile=tile, cap=cap, span=span, backend="xla"))
     t_rast = timeit(rast_fn, fv)
 
     fim, wim = rast_fn(fv)
