@@ -23,10 +23,10 @@ Two generations:
   the LOWEST FACE ID explicitly (the CUDA kernel's tie-break,
   rasterize_cuda_kernel.cu:160-170), independent of slot order.
 
-Measured on v5e at 256², batch 16, 12.9k faces: 25ms/batch vs 222ms for
+Measured on v5e at 256², batch 16, 12.9k faces: 24ms/batch vs 222ms for
 the fixed-slot pipeline (the pair-sort and its 226MB gather dominated).
 Parity vs the brute z-buffer on TPU: fim bit-exact (face ids match
-everywhere), wim within 2.5e-3 (barycentric solve order differs;
+everywhere), wim within 2.8e-3 (barycentric solve order differs;
 bench.py asserts < 5e-3 every run). ``interpret=True`` runs either
 kernel on CPU for tests.
 """
@@ -253,23 +253,31 @@ def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb):
                           + (p0x * p1y - p1x * p0y) * rden, 0.0, 1.0)
             wsum = w0 + w1 + w2
             wsum = jnp.where(wsum == 0.0, 1.0, wsum)
-            w0, w1, w2 = w0 / wsum, w1 / wsum, w2 / wsum
+            # one reciprocal + 3 muls instead of 3 (tpb, C) divides; fz
+            # reciprocals are per-face (1, C) rows — the same trick the
+            # tiled XLA path uses (rasterizer.py:655-678), which bit-
+            # matches the division-form brute oracle on body meshes
+            rws = 1.0 / wsum
+            w0, w1, w2 = w0 * rws, w1 * rws, w2 * rws
 
-            inv_z = w0 / fz0 + w1 / fz1 + w2 / fz2
+            rz0 = 1.0 / fz0
+            rz1 = 1.0 / fz1
+            rz2 = 1.0 / fz2
+            inv_z = w0 * rz0 + w1 * rz1 + w2 * rz2
             zp = 1.0 / inv_z
             valid = inside & in_range & front & (zp > near) & (zp < far)
             zp = jnp.where(valid, zp, far)
 
-            # lane winner: min z, then lowest face id on exact z ties
+            # lane winner: min z, then lowest face id on exact z ties.
+            # Each face appears exactly once in the sorted table, so ids
+            # are unique within a chunk and (at_min & id == li_id) already
+            # selects a single lane — no second lane-reduction needed.
             lz = jnp.min(zp, axis=1, keepdims=True)
             at_min = (zp == lz) & valid
             idb = jnp.broadcast_to(ids, (tpb, chunk))
             li_id = jnp.min(jnp.where(at_min, idb, BIG), axis=1,
                             keepdims=True)
             sel = at_min & (idb == li_id)
-            lsel = jnp.min(jnp.where(sel, lane, BIG), axis=1,
-                           keepdims=True)
-            sel = lane == lsel
 
             def pick(v):
                 return jnp.sum(jnp.where(sel, v, 0.0), axis=1,

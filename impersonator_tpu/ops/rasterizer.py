@@ -387,8 +387,19 @@ def rasterize_fim_wim_bucket(
     # culled -> bucket T+1 (past every range)
     key = jnp.where(base & ~oversized, tya * g + txa,
                     jnp.where(base & oversized, n_tiles, n_tiles + 1))
-    order = jnp.argsort(key, axis=1, stable=True)   # ties keep fid order
-    key_sorted = jnp.take_along_axis(key, order, axis=1)
+    # fused-key sort: (key << shift) | fid sorts ONE int32 array instead
+    # of a (key, index) pair sort — ~2x less data through the XLA sorting
+    # network, and stability (ties keep fid order) comes free from the
+    # low bits. key max is n_tiles+1 = (s/tile)^2+1, fid < nf: fits i32
+    # comfortably for every supported config (asserted).
+    shift = 1
+    while (1 << shift) < nf:
+        shift += 1
+    assert (n_tiles + 1) < (1 << (31 - shift)), (n_tiles, nf)
+    fid = jnp.arange(nf, dtype=jnp.int32)[None, :]
+    fused = (key.astype(jnp.int32) << shift) | fid
+    fused_sorted = jnp.sort(fused, axis=1)
+    order = fused_sorted & ((1 << shift) - 1)
     packed = face_verts.reshape(b, nf, 9)
     verts_sorted = jnp.take_along_axis(packed, order[..., None], axis=1)
 
@@ -401,12 +412,13 @@ def rasterize_fim_wim_bucket(
         fid_t = jnp.pad(fid_t, ((0, 0), (0, pad)))
     fid_t = fid_t[:, None, :]
 
-    tids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    starts = jax.vmap(lambda k: jnp.searchsorted(k, tids))(key_sorted)
-    ends = jax.vmap(
-        lambda k: jnp.searchsorted(k, tids, side="right"))(key_sorted)
-    starts_full = jnp.concatenate(
-        [starts, ends[:, -1:]], axis=1).astype(jnp.int32)[:, None, :]
+    # bucket starts straight off the fused keys: first index with
+    # key >= t  ==  first fused entry >= (t << shift). Target T+1 doubles
+    # as the end-of-oversized sentinel (start of the cull bucket).
+    tids = jnp.arange(n_tiles + 2, dtype=jnp.int32) << shift
+    starts_full = jax.vmap(
+        lambda k: jnp.searchsorted(k, tids))(fused_sorted)
+    starts_full = starts_full.astype(jnp.int32)[:, None, :]
 
     from impersonator_tpu.ops import pallas_raster
     fim_t, w0_t, w1_t, w2_t = pallas_raster.zbuffer_bucket_rows(
