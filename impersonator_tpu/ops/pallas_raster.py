@@ -192,11 +192,25 @@ def zbuffer_tiles(cdata_t, cand_t, valid_t, s: int, tile: int,
 # ---------------------------------------------------------------------------
 
 
-def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb):
+def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb,
+                        flow=False):
+    """Bucket-row z-buffer kernel body. ``flow=False`` emits
+    (fim, w0, w1, w2); ``flow=True`` additionally consumes a per-face
+    source-xy table and emits (fim, tx, ty) — the winner's barycentric
+    blend of its SOURCE-image vertex positions, i.e. the liquid-warping
+    correspondence flow T fused into the raster (replaces the 1M-index
+    per-pixel gather + einsum of ops.flow.correspondence_flow on the
+    imitation hot path; background = -2)."""
     tpb = tile * tile * txb      # pixels per program (txb adjacent tiles)
 
-    def kernel(starts_ref, verts_ref, fid_ref,
-               fim_ref, w0_ref, w1_ref, w2_ref):
+    def kernel(*refs):
+        if flow:
+            (starts_ref, verts_ref, fid_ref, srcxy_ref,
+             fim_ref, w0_ref, w1_ref) = refs
+            w2_ref = None
+        else:
+            (starts_ref, verts_ref, fid_ref,
+             fim_ref, w0_ref, w1_ref, w2_ref) = refs
         ty = pl.program_id(1)
         txg = pl.program_id(2)
         tx0 = txg * txb
@@ -216,6 +230,7 @@ def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb):
             best_z, best_i, best_w0, best_w1, best_w2 = carry
             d = verts_ref[0, :, pl.ds(c0, chunk)]          # (9, C)
             ids = fid_ref[0, :, pl.ds(c0, chunk)]          # (1, C)
+            sxy = srcxy_ref[0, :, pl.ds(c0, chunk)] if flow else None
             in_range = (lane + c0) < r1
 
             fx0, fy0, fz0 = d[0:1, :], d[1:2, :], d[2:3, :]
@@ -288,17 +303,24 @@ def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb):
             better = has & ((lz < best_z)
                             | ((lz == best_z) & (best_i >= 0)
                                & (lid < best_i)))
-            best_w0 = jnp.where(better, pick(w0), best_w0)
-            best_w1 = jnp.where(better, pick(w1), best_w1)
-            best_w2 = jnp.where(better, pick(w2), best_w2)
+            if flow:
+                tx = w0 * sxy[0:1, :] + w1 * sxy[2:3, :] + w2 * sxy[4:5, :]
+                ty = w0 * sxy[1:2, :] + w1 * sxy[3:4, :] + w2 * sxy[5:6, :]
+                best_w0 = jnp.where(better, pick(tx), best_w0)
+                best_w1 = jnp.where(better, pick(ty), best_w1)
+            else:
+                best_w0 = jnp.where(better, pick(w0), best_w0)
+                best_w1 = jnp.where(better, pick(w1), best_w1)
+                best_w2 = jnp.where(better, pick(w2), best_w2)
             best_i = jnp.where(better, lid.astype(jnp.int32), best_i)
             best_z = jnp.where(better, lz, best_z)
             return best_z, best_i, best_w0, best_w1, best_w2
 
+        bg = -2.0 if flow else 0.0   # uncovered pixels: BG_FLOW vs w=0
         carry = (jnp.full((tpb, 1), far, jnp.float32),
                  jnp.full((tpb, 1), -1, jnp.int32),
-                 jnp.zeros((tpb, 1), jnp.float32),
-                 jnp.zeros((tpb, 1), jnp.float32),
+                 jnp.full((tpb, 1), bg, jnp.float32),
+                 jnp.full((tpb, 1), bg, jnp.float32),
                  jnp.zeros((tpb, 1), jnp.float32))
 
         # span merged row-ranges + the shared oversized bucket at T
@@ -330,7 +352,8 @@ def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb):
         fim_ref[0, 0, 0] = best_i
         w0_ref[0, 0, 0] = best_w0
         w1_ref[0, 0, 0] = best_w1
-        w2_ref[0, 0, 0] = best_w2
+        if w2_ref is not None:
+            w2_ref[0, 0, 0] = best_w2
 
     return kernel
 
@@ -381,3 +404,53 @@ def zbuffer_bucket_rows(verts_t, fid_t, starts, s: int, tile: int,
         ),
         interpret=interpret,
     )(starts, verts_t, fid_t)
+
+
+@partial(jax.jit, static_argnames=("s", "tile", "span", "near", "far",
+                                   "chunk", "txb", "interpret"))
+def zbuffer_bucket_flow(verts_t, fid_t, srcxy_t, starts, s: int, tile: int,
+                        span: int, near: float, far: float,
+                        chunk: int = 128, txb: int = 4,
+                        interpret: bool = False):
+    """Fused z-buffer + correspondence flow over bucket-sorted faces.
+
+    Same candidate layout as :func:`zbuffer_bucket_rows`, plus
+    srcxy_t: (B, 6, nf_pad) per-face SOURCE-image vertex xy
+    ([x0 y0 x1 y1 x2 y2]) in the same sorted order. Returns
+    fim (B, g, g//txb, tpb, 1) int32 and tx/ty maps of the same shape:
+    the winning face's barycentric blend of its source positions
+    (= the liquid-warping flow T), -2 on background.
+    """
+    b, _, nf_pad = verts_t.shape
+    g = s // tile
+    n_tiles = g * g
+    assert g % txb == 0
+    assert nf_pad % chunk == 0
+    tpb = tile * tile * txb
+    kernel = _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb,
+                                 flow=True)
+    nxg = g // txb
+    return pl.pallas_call(
+        kernel,
+        grid=(b, g, nxg),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_tiles + 2), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 9, nf_pad), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nf_pad), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, nf_pad), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, 1, tpb, 1),
+                         lambda i, j, k: (i, j, k, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(3)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, g, nxg, tpb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, g, nxg, tpb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, nxg, tpb, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(starts, verts_t, fid_t, srcxy_t)

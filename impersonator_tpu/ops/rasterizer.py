@@ -358,6 +358,31 @@ def rasterize_fim_wim_bucket(
     g = s // tile
     while g % txb:
         txb //= 2
+
+    verts_t, fid_t, starts_full, order = _bucket_sort(
+        face_verts, s, tile, span, chunk, far)
+
+    from impersonator_tpu.ops import pallas_raster
+    fim_t, w0_t, w1_t, w2_t = pallas_raster.zbuffer_bucket_rows(
+        verts_t, fid_t, starts_full, s, tile, span, near, far, chunk,
+        txb, interpret)
+
+    untile_b = partial(_untile_bucket, b=b, g=g, tile=tile, txb=txb, s=s)
+    fim = untile_b(fim_t)
+    wim = jnp.stack([untile_b(w0_t), untile_b(w1_t), untile_b(w2_t)],
+                    axis=-1)
+    return fim[:, ::-1, :], wim[:, ::-1, :, :]
+
+
+def _bucket_sort(face_verts, s, tile, span, chunk, far):
+    """Shared sort prefix of the bucket rasterizers: cull, bucket by
+    top-left covered tile, fused-key sort, pack, bucket starts.
+
+    Returns (verts_t (B,9,nf_pad), fid_t (B,1,nf_pad) int32,
+    starts_full (B,1,T+2) int32, order (B,nf) int32 sorted face ids).
+    """
+    b, nf = face_verts.shape[0], face_verts.shape[1]
+    g = s // tile
     n_tiles = g * g
 
     xv = face_verts[..., 0]
@@ -419,22 +444,76 @@ def rasterize_fim_wim_bucket(
     starts_full = jax.vmap(
         lambda k: jnp.searchsorted(k, tids))(fused_sorted)
     starts_full = starts_full.astype(jnp.int32)[:, None, :]
+    return verts_t, fid_t, starts_full, order
+
+
+def _untile_bucket(a, b, g, tile, txb, s):
+    """(B, g, g//txb, tile*tile*txb, 1) -> (B, S, S)."""
+    nxg = a.shape[2]
+    return (a.reshape(b, g, nxg, tile, tile * txb)
+             .transpose(0, 1, 3, 2, 4)
+             .reshape(b, s, s))
+
+
+@partial(jax.jit, static_argnames=("image_size", "near", "far", "tile",
+                                   "span", "chunk", "txb", "interpret"))
+def rasterize_flow_bucket(
+    face_verts: jax.Array,
+    src_f2pts: jax.Array,
+    image_size: int = 256,
+    near: float = DEFAULT_NEAR,
+    far: float = DEFAULT_FAR,
+    tile: int = 8,
+    span: int = 2,
+    chunk: int = 128,
+    txb: int = 4,
+    interpret: bool = False,
+):
+    """Fused rasterize + correspondence flow (the imitation hot path).
+
+    One bucket-sorted z-buffer pass that emits the face-index map AND
+    the liquid-warping flow T directly: per covered pixel, the winning
+    face's barycentric blend of its SOURCE-image vertex positions
+    (``ops.flow.correspondence_flow`` semantics, nmr.py:617-659) —
+    skipping the wim materialization, the 1M-index per-pixel gather and
+    the blend einsum that the two-step path pays on TPU.
+
+    face_verts: (B, nf, 3, 3) target-pose raster-space verts;
+    src_f2pts:  (Bs, nf, 3, 2) source-image xy per face vertex, Bs in
+                {1, B} (batch-1 source broadcasts through the gather).
+    Returns fim (B, S, S) int32 and T (B, S, S, 2) float32, -2 on
+    background.
+    """
+    face_verts = jax.lax.stop_gradient(face_verts.astype(jnp.float32))
+    src_f2pts = jax.lax.stop_gradient(src_f2pts.astype(jnp.float32))
+    b, nf = face_verts.shape[0], face_verts.shape[1]
+    s = image_size
+    assert s % tile == 0
+    g = s // tile
+    while g % txb:
+        txb //= 2
+
+    verts_t, fid_t, starts_full, order = _bucket_sort(
+        face_verts, s, tile, span, chunk, far)
+
+    # per-face src xy in sorted order; batch-1 src broadcasts over the
+    # per-batch orders without materializing (B, nf, 6)
+    src_packed = src_f2pts.reshape(src_f2pts.shape[0], nf, 6)
+    src_sorted = jnp.take_along_axis(src_packed, order[..., None], axis=1)
+    pad = (-nf) % chunk
+    if pad:
+        src_sorted = jnp.pad(src_sorted, ((0, 0), (0, pad), (0, 0)))
+    srcxy_t = src_sorted.transpose(0, 2, 1)          # (B, 6, nf_pad)
 
     from impersonator_tpu.ops import pallas_raster
-    fim_t, w0_t, w1_t, w2_t = pallas_raster.zbuffer_bucket_rows(
-        verts_t, fid_t, starts_full, s, tile, span, near, far, chunk,
-        txb, interpret)
+    fim_t, tx_t, ty_t = pallas_raster.zbuffer_bucket_flow(
+        verts_t, fid_t, srcxy_t, starts_full, s, tile, span, near, far,
+        chunk, txb, interpret)
 
-    def untile_b(a):  # (B, g, g//txb, tile*tile*txb, 1) -> (B, S, S)
-        nxg = a.shape[2]
-        return (a.reshape(b, g, nxg, tile, tile * txb)
-                 .transpose(0, 1, 3, 2, 4)
-                 .reshape(b, s, s))
-
+    untile_b = partial(_untile_bucket, b=b, g=g, tile=tile, txb=txb, s=s)
     fim = untile_b(fim_t)
-    wim = jnp.stack([untile_b(w0_t), untile_b(w1_t), untile_b(w2_t)],
-                    axis=-1)
-    return fim[:, ::-1, :], wim[:, ::-1, :, :]
+    t = jnp.stack([untile_b(tx_t), untile_b(ty_t)], axis=-1)
+    return fim[:, ::-1, :], t[:, ::-1, :, :]
 
 
 # ---------------------------------------------------------------------------

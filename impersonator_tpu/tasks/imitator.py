@@ -234,25 +234,37 @@ def imitate_core(nets: ImitatorNets, renderer: SMPLRenderer,
     Returns preds (N, S, S, 3) in [-1, 1].
     """
     info = smpl_ops.get_details(smpl_params, tsf_theta, parents)
-    _, fim, wim = renderer.render_fim_wim(info["cam"], info["verts"])
+    # fused raster+flow: fim and T come out of one kernel pass on TPU
+    fim, t = renderer.render_flow(info["cam"], info["verts"],
+                                  src_state["p2verts"])
     cond = renderer.encode_fim(fim)
-    return imitate_from_raster(nets, renderer, src_state, fim, wim, cond,
-                               front_warp=front_warp,
-                               compute_dtype=compute_dtype)
+    return imitate_from_flow(nets, renderer, src_state, fim, t, cond,
+                             front_warp=front_warp,
+                             compute_dtype=compute_dtype)
 
 
 def imitate_from_raster(nets: "ImitatorNets", renderer: SMPLRenderer,
                         src_state, fim, wim, cond,
                         front_warp: bool = False, compute_dtype=None):
-    """Continuous tail of :func:`imitate_core` after the tsf raster —
-    flow build, warp, cached-feature LWB decode, compositing."""
-    # Source-side arrays stay batch-1: grid_sample / correspondence_flow
-    # broadcast the gather over the frame axis themselves. Materializing
-    # jnp.broadcast_to first costs ~39ms/step at batch 16 on v5e — XLA
-    # lays the broadcast buffers out batch-minor and the per-pixel
-    # gathers degrade to strided scalar reads (profiled via xplane).
+    """Tail of the imitation step given classic (fim, wim) raster
+    products — kept for parity tooling that splits precision at the
+    raster boundary (tools/composition_parity.py)."""
     t = renderer.cal_bc_transform(src_state["p2verts"], fim, wim)
+    return imitate_from_flow(nets, renderer, src_state, fim, t, cond,
+                             front_warp=front_warp,
+                             compute_dtype=compute_dtype)
 
+
+def imitate_from_flow(nets: "ImitatorNets", renderer: SMPLRenderer,
+                      src_state, fim, t, cond,
+                      front_warp: bool = False, compute_dtype=None):
+    """Continuous tail of :func:`imitate_core` after raster + flow —
+    warp, cached-feature LWB decode, compositing."""
+    # Source-side arrays stay batch-1: grid_sample broadcasts the gather
+    # over the frame axis itself. Materializing jnp.broadcast_to first
+    # costs ~39ms/step at batch 16 on v5e — XLA lays the broadcast
+    # buffers out batch-minor and the per-pixel gathers degrade to
+    # strided scalar reads (profiled via xplane).
     tsf_img = grid_sample(src_state["img"], t)
     tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
 

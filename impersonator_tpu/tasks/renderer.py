@@ -150,6 +150,30 @@ class SMPLRenderer:
     def cal_bc_transform(self, src_f2pts, dst_fim, dst_wim):
         return flow_ops.correspondence_flow(src_f2pts, dst_fim, dst_wim)
 
+    def render_flow(self, cam, verts, src_f2pts):
+        """(cam (B,3), verts (B,nv,3), src_f2pts (Bs,nf,3,2)) ->
+        (fim, T): the target-pose face-index map and the liquid-warping
+        flow in one pass. On TPU this runs the fused raster+flow kernel
+        (ops/rasterizer.rasterize_flow_bucket) — the z-buffer winner's
+        source positions come straight out of the kernel instead of a
+        per-pixel gather over fim/wim; elsewhere it composes the classic
+        render_fim_wim + correspondence_flow pair (bit-compatible
+        semantics, ULP-level T drift between the two — tested)."""
+        s = self.image_size
+        nf = self.faces.shape[0]
+        tile, cap, span = self.tile_params()
+        if tile and nf > 256 and jax.default_backend() == "tpu" \
+                and nf <= 60000:
+            f2verts = rast.project_to_raster_space(
+                verts, cam, self.faces, self.eye_z_value)
+            txb = max(1, min(4, 512 // (tile * tile)))
+            fim, t = rast.rasterize_flow_bucket(
+                f2verts, src_f2pts, s, self.near, self.far, tile=tile,
+                span=span, txb=txb)
+            return fim, t
+        _, fim, wim = self.render_fim_wim(cam, verts)
+        return fim, flow_ops.correspondence_flow(src_f2pts, fim, wim)
+
     def get_vis_f2pts(self, f2pts, fim):
         return flow_ops.visible_f2pts(f2pts, fim)
 

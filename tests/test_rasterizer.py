@@ -328,3 +328,29 @@ def test_bucket_512_tile16(assets):
     assert (np.asarray(fim_a) == np.asarray(fim_b)).all()
     np.testing.assert_allclose(np.asarray(wim_a), np.asarray(wim_b),
                                atol=2e-4)
+
+
+def test_flow_bucket_matches_two_step(assets):
+    """Fused raster+flow kernel vs rasterize + correspondence_flow: same
+    fim, T within blend-order ULPs; batch-1 src broadcasts over a
+    batched target pose."""
+    from impersonator_tpu.ops import flow as flow_ops
+    fv1 = _smpl_face_verts(assets)
+    fv = jnp.concatenate([fv1, fv1 * jnp.asarray([1.02, 0.98, 1.0])],
+                         axis=0)                       # (2, nf, 3, 3)
+    rng = np.random.default_rng(5)
+    nf = fv.shape[1]
+    src_f2pts = jnp.asarray(
+        rng.uniform(-1, 1, (1, nf, 3, 2)).astype(np.float32))
+    s = 64
+    fim_a, wim_a = rast.rasterize_fim_wim_bucket(fv, s, tile=8, span=4,
+                                                 txb=4, interpret=True)
+    t_a = flow_ops.correspondence_flow(src_f2pts, fim_a, wim_a)
+    fim_b, t_b = rast.rasterize_flow_bucket(fv, src_f2pts, s, tile=8,
+                                            span=4, txb=4, interpret=True)
+    assert (np.asarray(fim_a) == np.asarray(fim_b)).all()
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), atol=1e-5)
+    # background exactly BG_FLOW
+    bg = np.asarray(fim_b) < 0
+    assert (np.asarray(t_b)[bg] == -2.0).all()
+    assert bg.sum() > 100 and (~bg).sum() > 100
