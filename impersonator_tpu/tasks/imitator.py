@@ -33,7 +33,7 @@ from impersonator_tpu.models import (
     InpaintSANet,
 )
 from impersonator_tpu.ops import morphology, smpl as smpl_ops
-from impersonator_tpu.ops.sampler import grid_sample
+from impersonator_tpu.ops.sampler import grid_sample, grid_sample_patched
 from impersonator_tpu.tasks.renderer import SMPLRenderer
 
 
@@ -260,12 +260,14 @@ def imitate_from_flow(nets: "ImitatorNets", renderer: SMPLRenderer,
                       front_warp: bool = False, compute_dtype=None):
     """Continuous tail of :func:`imitate_core` after raster + flow —
     warp, cached-feature LWB decode, compositing."""
-    # Source-side arrays stay batch-1: grid_sample broadcasts the gather
+    # Source-side arrays stay batch-1: the sampler broadcasts the gather
     # over the frame axis itself. Materializing jnp.broadcast_to first
     # costs ~39ms/step at batch 16 on v5e — XLA lays the broadcast
     # buffers out batch-minor and the per-pixel gathers degrade to
-    # strided scalar reads (profiled via xplane).
-    tsf_img = grid_sample(src_state["img"], t)
+    # strided scalar reads (profiled via xplane). The patched variant
+    # fetches all four bilinear corners in ONE row gather (C=3 here, so
+    # the 4x patch table is cheap) — see ops/sampler.grid_sample_patched.
+    tsf_img = grid_sample_patched(src_state["img"], t)
     tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
 
     enc, res = src_state["feats"]

@@ -63,3 +63,26 @@ def test_morph_matches_torch(rng, mode, ks):
         out = torch.nn.functional.conv2d(padded, kernel)
         theirs = (out >= 1).float()
     np.testing.assert_allclose(ours, theirs.numpy().transpose(0, 2, 3, 1))
+
+
+def test_grid_sample_patched_bitexact():
+    """grid_sample_patched must reproduce grid_sample exactly: in-range,
+    boundary-straddling, fully-out-of-range and BG_FLOW (-2) grids,
+    batch-1 image broadcast over a batched grid."""
+    import jax.numpy as jnp
+    from impersonator_tpu.ops.sampler import grid_sample, grid_sample_patched
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 23, 17, 3)).astype(np.float32))
+    grid = rng.uniform(-1.3, 1.3, (4, 9, 11, 2)).astype(np.float32)
+    grid[0, :2, :2] = -2.0           # background flow sentinel
+    grid[1, 0, 0] = [1.0, 1.0]       # exact far corner
+    grid[1, 0, 1] = [-1.0, -1.0]     # exact near corner
+    grid[2, 0, 0] = [5.0, 5.0]       # far out of range
+    grid = jnp.asarray(grid)
+    a = np.asarray(grid_sample(x, grid))
+    b = np.asarray(grid_sample_patched(x, grid))
+    np.testing.assert_array_equal(a, b)
+    # batched image too
+    xb = jnp.asarray(rng.uniform(-1, 1, (4, 23, 17, 3)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(grid_sample(xb, grid)),
+                                  np.asarray(grid_sample_patched(xb, grid)))
