@@ -26,7 +26,7 @@ import optax
 
 from impersonator_tpu.models import losses as L
 from impersonator_tpu.ops import morphology, smpl as smpl_ops
-from impersonator_tpu.ops.sampler import grid_sample
+from impersonator_tpu.ops.sampler import grid_sample, grid_sample_patched
 from impersonator_tpu.tasks import imitator as imitator_mod
 
 
@@ -86,7 +86,7 @@ def build_meta_pairs(imit, prior_smpls: jax.Array):
     t_cycle = renderer.cal_bc_transform(tsf_p2verts, src_fim, src_wim)
 
     src_img = jnp.broadcast_to(src["img"], (n,) + src["img"].shape[1:])
-    warped = grid_sample(src_img, t)
+    warped = grid_sample_patched(src_img, t)
     tsf_inputs = jnp.concatenate([warped, tsf_cond], axis=-1)
 
     src_cond = jnp.broadcast_to(src["cond"], (n,) + src["cond"].shape[1:])

@@ -21,7 +21,7 @@ from impersonator_tpu.assets import SMPLAssets
 from impersonator_tpu.config import TestConfig
 from impersonator_tpu.ops import flow as flow_ops
 from impersonator_tpu.ops import smpl as smpl_ops
-from impersonator_tpu.ops.sampler import grid_sample
+from impersonator_tpu.ops.sampler import grid_sample, grid_sample_patched
 from impersonator_tpu.tasks import imitator as imitator_mod
 from impersonator_tpu.tasks.renderer import SMPLRenderer
 
@@ -71,8 +71,8 @@ def swap_core(nets, renderer: SMPLRenderer, src_state, tgt_state,
     t21 = renderer.cal_bc_transform(tsf_f2p, src_state["fim"], src_state["wim"])
     t21 = jnp.clip(t21, -2.0, 2.0)
 
-    tsf21 = grid_sample(tgt_state["img"], t21)
-    tsf11 = grid_sample(src_state["img"], t11)
+    tsf21 = grid_sample_patched(tgt_state["img"], t21)
+    tsf11 = grid_sample_patched(src_state["img"], t11)
     tsf_img = (tsf21 * src_part_mask[..., None].astype(tsf21.dtype)
                + tsf11 * src_left_mask[..., None].astype(tsf11.dtype))
     tsf_inputs = jnp.concatenate([tsf_img, src_state["cond"]], axis=-1)

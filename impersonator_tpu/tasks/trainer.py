@@ -39,7 +39,8 @@ from impersonator_tpu.models import losses as L
 from impersonator_tpu.models.facenet import Sphere20a
 from impersonator_tpu.models.losses import Vgg19
 from impersonator_tpu.ops import morphology, smpl as smpl_ops
-from impersonator_tpu.ops.sampler import grid_sample, resize_bilinear_align
+from impersonator_tpu.ops.sampler import (grid_sample, grid_sample_patched,
+                                          resize_bilinear_align)
 from impersonator_tpu.tasks.renderer import SMPLRenderer
 
 
@@ -65,11 +66,12 @@ def body_recovery_flow(renderer: SMPLRenderer,
     src_cond = renderer.encode_fim(src_fim)
     src_crop_mask = morphology.morph(src_cond[..., -1:], ks=3, mode="erode")
 
-    _, ref_fim, ref_wim = renderer.render_fim_wim(
-        ref_info["cam"], ref_info["verts"])
+    # fused raster+flow on TPU (ops/rasterizer.rasterize_flow_bucket);
+    # classic two-step elsewhere — identical semantics
+    ref_fim, t = renderer.render_flow(
+        ref_info["cam"], ref_info["verts"], src_f2pts)
     ref_cond = renderer.encode_fim(ref_fim)
-    t = renderer.cal_bc_transform(src_f2pts, ref_fim, ref_wim)
-    syn_img = grid_sample(src_img, t)
+    syn_img = grid_sample_patched(src_img, t)
 
     input_g_src = jnp.concatenate([src_img * (1 - src_crop_mask), src_cond], -1)
     input_g_tsf = jnp.concatenate([syn_img, ref_cond], -1)

@@ -20,7 +20,7 @@ from impersonator_tpu.assets import SMPLAssets
 from impersonator_tpu.config import TestConfig
 from impersonator_tpu.ops import smpl as smpl_ops
 from impersonator_tpu.ops.projection import euler_to_matrix
-from impersonator_tpu.ops.sampler import grid_sample
+from impersonator_tpu.ops.sampler import grid_sample_patched
 from impersonator_tpu.tasks import imitator as imitator_mod
 from impersonator_tpu.tasks.renderer import SMPLRenderer
 
@@ -39,25 +39,21 @@ def view_core(nets, renderer: SMPLRenderer, src_state, rot_mats, trans,
     tsf_mesh = jnp.einsum("nvc,ncd->nvd", verts, rot_mats) + trans[:, None, :]
 
     cam = jnp.broadcast_to(src_state["cam"], (n, 3))
-    _, fim, wim = renderer.render_fim_wim(cam, tsf_mesh)
+    # fused raster+flow; source-side arrays stay batch-1 — the samplers
+    # broadcast the gathers over the view axis (materialized broadcasts
+    # are a TPU layout trap, see imitate_from_flow)
+    fim, t = renderer.render_flow(cam, tsf_mesh, src_state["p2verts"])
     cond = renderer.encode_fim(fim)
 
-    p2verts = jnp.broadcast_to(
-        src_state["p2verts"], (n,) + src_state["p2verts"].shape[1:])
-    t = renderer.cal_bc_transform(p2verts, fim, wim)
-
-    src_img = jnp.broadcast_to(src_state["img"], (n,) + src_state["img"].shape[1:])
-    tsf_img = grid_sample(src_img, t)
+    tsf_img = grid_sample_patched(src_state["img"], t)
     tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
 
     enc, res = src_state["feats"]
-    enc = [jnp.broadcast_to(e, (n,) + e.shape[1:]) for e in enc]
-    res = [jnp.broadcast_to(r, (n,) + r.shape[1:]) for r in res]
     tsf_color, tsf_mask = imitator_mod.gen_apply(
         nets, compute_dtype, enc, res, tsf_inputs, t, method="inference")
 
-    bg = (jnp.broadcast_to(src_state["bg"], (n,) + src_state["bg"].shape[1:])
-          if bg_replace else jnp.zeros((n,) + src_state["bg"].shape[1:]))
+    bg = (src_state["bg"] if bg_replace
+          else jnp.zeros_like(src_state["bg"]))
     preds = tsf_mask * bg + (1 - tsf_mask) * tsf_color
 
     if front_warp:
