@@ -29,7 +29,7 @@ def main():
     from impersonator_tpu import assets as A
     from impersonator_tpu.config import TestConfig
     from impersonator_tpu.ops import smpl as smpl_ops, rasterizer as rast
-    from impersonator_tpu.ops.sampler import grid_sample
+
     from impersonator_tpu.tasks import imitator as I
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
@@ -65,35 +65,42 @@ def main():
             f, 256, tile=tile, cap=cap, span=span, backend="xla"))
     t_rast = timeit(rast_fn, fv)
 
-    fim, wim = rast_fn(fv)
+    # 3. fused raster+flow + patched warp — the PRODUCTION decomposition
+    # (imitate_from_flow): T comes out of the raster kernel, the warp is
+    # the single-gather patch sampler. Batch-1 source, like production.
+    p2 = jnp.asarray(rng.uniform(-1, 1, (1, assets.nf, 3, 2)).astype(np.float32))
+    src_img1 = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256, 3)), jnp.float32)
 
-    # 3. flow + warp
-    p2 = jnp.broadcast_to(rng.uniform(-1, 1, (1, assets.nf, 3, 2)
-                                      ).astype(np.float32), (batch, assets.nf, 3, 2))
-    img = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3)), jnp.float32)
+    def rastflow_fn(f, p2):
+        return rast.rasterize_flow_bucket(
+            f, p2, 256, tile=tile, span=span, txb=4) \
+            if jax.default_backend() == "tpu" else (
+                rast.rasterize_fim_wim_tiled(
+                    f, 256, tile=tile, cap=cap, span=span, backend="xla")[0],
+                None)
+    rastflow_j = jax.jit(rastflow_fn)
+    t_rastflow = timeit(rastflow_j, fv, p2)
+    _, t_map = rastflow_j(fv, p2)
 
-    def flow_fn(p2, fim, wim, img):
-        t = imit.renderer.cal_bc_transform(p2, fim, wim)
-        return grid_sample(img, t)
-    flow_j = jax.jit(flow_fn)
-    t_flow = timeit(flow_j, p2, fim, wim, img)
+    t_warp = None
+    if t_map is not None:
+        from impersonator_tpu.ops.sampler import grid_sample_patched
+        warp_j = jax.jit(grid_sample_patched)
+        t_warp = timeit(warp_j, src_img1, t_map)
 
-    # 4. generator decode (cached src feats)
-    src_img = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256, 3)), jnp.float32)
-    theta1 = theta[:1]
-    src_state = imit._personalize_jit(src_img, theta1)
+    # 4. full step (cached src feats): smpl + raster+flow + warp + LWB
+    src_state = imit._personalize_jit(src_img1, theta[:1])
     t_gen = timeit(
         lambda th: imit._imitate_jit(src_state, th), theta)
 
-    total = t_smpl + t_rast + t_flow
     print(f"batch={batch}")
-    print(f"smpl      : {t_smpl*1e3:8.2f} ms  ({batch/t_smpl:8.1f} fps)")
-    print(f"rasterize : {t_rast*1e3:8.2f} ms  ({batch/t_rast:8.1f} fps)")
-    print(f"flow+warp : {t_flow*1e3:8.2f} ms  ({batch/t_flow:8.1f} fps)")
-    print(f"full step : {t_gen*1e3:8.2f} ms  ({batch/t_gen:8.1f} fps)  "
-          f"[includes smpl+rast+flow+generator]")
-    gen_only = t_gen - total
-    print(f"generator ≈ {gen_only*1e3:8.2f} ms  ({batch/max(gen_only,1e-9):8.1f} fps)")
+    print(f"smpl        : {t_smpl*1e3:8.2f} ms  ({batch/t_smpl:8.1f} fps)")
+    print(f"rasterize   : {t_rast*1e3:8.2f} ms  ({batch/t_rast:8.1f} fps)")
+    print(f"raster+flow : {t_rastflow*1e3:8.2f} ms  ({batch/t_rastflow:8.1f} fps)  [fused kernel]")
+    if t_warp is not None:
+        print(f"patch warp  : {t_warp*1e3:8.2f} ms  ({batch/t_warp:8.1f} fps)")
+    print(f"full step   : {t_gen*1e3:8.2f} ms  ({batch/t_gen:8.1f} fps)  "
+          f"[smpl + raster+flow + warp + LWB decode]")
 
 
 if __name__ == "__main__":
