@@ -17,8 +17,9 @@ Two generations:
   adjacent tiles of one tile-row to amortize grid overhead.
   Aligned windows may include stray faces from neighbouring buckets;
   every stray is either re-filtered by the exact per-pixel tests
-  (inside/backface/z-range decide coverage, same formulas as the brute
-  kernel) or a duplicate of another range's candidate — and duplicates
+  (inside/z-range decide coverage, same formulas as the brute kernel;
+  back faces never reach the kernel — the bucket sort routes them past
+  the end sentinel) or a duplicate of another range's candidate — and duplicates
   are idempotent under the (z, face-id) lexicographic min. Ties break to
   the LOWEST FACE ID explicitly (the CUDA kernel's tie-break,
   rasterize_cuda_kernel.cu:160-170), independent of slot order.
@@ -237,10 +238,11 @@ def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb,
             fx1, fy1, fz1 = d[3:4, :], d[4:5, :], d[5:6, :]
             fx2, fy2, fz2 = d[6:7, :], d[7:8, :], d[8:9, :]
 
-            # backface cull — the only candidate-level test the pixel
-            # tests can't subsume (rasterize_cuda_kernel.cu:57-58)
-            front = ((fy2 - fy0) * (fx1 - fx0)
-                     >= (fy1 - fy0) * (fx2 - fx0))
+            # No in-kernel backface cull: the bucket sort already routes
+            # non-front faces to the cull bucket past the end sentinel
+            # (rasterizer._bucket_sort `base`), no scanned range reaches
+            # them, and in_range masks the zero padding — every candidate
+            # the kernel sees is front-facing by construction.
 
             p0x = 0.5 * (fx0 * sf + sf - 1.0)
             p0y = 0.5 * (fy0 * sf + sf - 1.0)
@@ -280,7 +282,7 @@ def _make_bucket_kernel(s, g, tile, span, chunk, near, far, txb,
             rz2 = 1.0 / fz2
             inv_z = w0 * rz0 + w1 * rz1 + w2 * rz2
             zp = 1.0 / inv_z
-            valid = inside & in_range & front & (zp > near) & (zp < far)
+            valid = inside & in_range & (zp > near) & (zp < far)
             zp = jnp.where(valid, zp, far)
 
             # lane winner: min z, then lowest face id on exact z ties.
