@@ -22,6 +22,34 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 240.0):
+    """Fail fast when the accelerator is unreachable.
+
+    The host's axon PJRT plugin registers at ``import jax`` (via
+    sitecustomize) and retries a dead relay tunnel indefinitely, so a
+    relay outage would hang this process at import time — before any
+    code below runs. Probe device init in a subprocess with a timeout
+    and return the backend name, or ``None`` with a printed diagnostic.
+    """
+    import subprocess
+    import sys
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BACKEND=' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"# backend probe timed out after {timeout_s:.0f}s "
+              "(accelerator tunnel unreachable?)")
+        return None
+    for line in p.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            return line.split("=", 1)[1]
+    tail = (p.stderr or "").strip().splitlines()[-3:]
+    print(f"# backend probe failed rc={p.returncode}: {' | '.join(tail)}")
+    return None
+
+
 def _peak_bf16_flops(dev):
     """Per-chip peak bf16 FLOP/s by device kind (public numbers from the
     TPU generations table, jax-ml.github.io/scaling-book)."""
@@ -265,4 +293,17 @@ def main():
 
 
 if __name__ == "__main__":
+    if _probe_backend() is None:
+        # One honest JSON line instead of an infinite import-time hang:
+        # the driver records bench stdout; value 0 + error beats silence.
+        print(json.dumps({
+            "metric": "frames/sec/chip at 256x256 motion imitation (HMR +"
+                      " SMPL + rasterize + flow + LWB decode per frame)",
+            "value": 0.0,
+            "unit": "frames/s/chip",
+            "vs_baseline": 0.0,
+            "error": "accelerator backend failed to initialize (tunnel "
+                     "outage?) — no measurement taken this run",
+        }))
+        raise SystemExit(1)
     main()
