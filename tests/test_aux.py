@@ -513,3 +513,38 @@ def test_place_fashion_composite_datasets(tmp_path, rng):
 
     paired = ImPerPlaceDataset(fashion, place)  # any pair-source works
     assert len(paired) == 1 and "bg" in paired[0]
+
+
+def test_visual_iper_tool(tmp_path, rng):
+    """Dataset-QA debug renders (reference tools/visual_iPER.py): frames
+    + pose_shape.pkl -> triptych PNGs with the body painted white."""
+    import cv2
+    import pickle
+    import sys
+
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    n = 3
+    for i in range(n):
+        cv2.imwrite(str(fdir / f"frame_{i:08d}.png"),
+                    rng.uniform(0, 255, (48, 48, 3)).astype(np.uint8))
+    pkl = tmp_path / "pose_shape.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({
+            "cams": np.tile(np.array([[0.9, 0, 0]], np.float32), (n, 1)),
+            "pose": rng.normal(0, 0.05, (n, 72)).astype(np.float32),
+            "shape": np.zeros((n, 10), np.float32)}, f)
+
+    sys.path.insert(0, "tools")
+    from tools import visual_iper
+    out = tmp_path / "qa"
+    visual_iper.main(["--frames_dir", str(fdir), "--smpl_pkl", str(pkl),
+                      "--out_dir", str(out), "--image_size", str(S),
+                      "--batch", "2"])
+    pngs = sorted(out.glob("qa_*.png"))
+    assert len(pngs) == n
+    trip = cv2.imread(str(pngs[0]))
+    assert trip.shape == (S, 3 * S, 3)       # original | render | masked
+    mid = trip[:, S:2 * S]
+    # debug texture paints covered pixels white on a black background
+    assert (mid.max(axis=-1) > 200).any() and (mid.min(axis=-1) < 30).any()
