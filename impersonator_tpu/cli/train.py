@@ -48,7 +48,9 @@ def main(argv=None):
 
     aug = cfg.model == "impersonator_trainer_aug"
     baseline = cfg.model in ("concat", "texture_warping", "feature_warping")
-    if not cfg.smpl_model:
+    if cfg.dataset_mode != "auto":
+        dataset_name = cfg.dataset_mode   # reference --dataset_mode names
+    elif not cfg.smpl_model:
         dataset_name = "synthetic_bg" if aug else "synthetic"
     else:
         dataset_name = "iPER_place" if aug else "iPER"

@@ -25,6 +25,11 @@ class BaseConfig:
     data_dir: str = "/data/iPER"
     place_dir: str = "/data/places365_standard"
     fashion_dir: str = "/data/fashion"
+    # dataset registry name (base_options.py:16 --dataset_mode; same
+    # names: iPER | iPER_place | fashion | iPER_fashion_place | place |
+    # synthetic | synthetic_bg). "auto" infers from --model and whether
+    # real assets are configured (synthetic smoke when they are not).
+    dataset_mode: str = "auto"
     images_folder: str = "images_HD"
     smpls_folder: str = "smpls"
     train_ids_file: str = "train.txt"

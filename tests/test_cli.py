@@ -96,6 +96,33 @@ def test_train_cli_ablation(tmp_path):
     assert int(state.step) > 0
 
 
+def test_train_cli_dataset_mode_override(tmp_path):
+    """--dataset_mode passes the reference registry name straight
+    through (base_options.py:16); the explicit synthetic name must
+    behave exactly like the auto-inferred smoke default."""
+    from impersonator_tpu.cli import train
+    state = train.main([
+        "--dataset_mode", "synthetic",
+        "--image_size", str(S), "--repeat_num", "1", "--batch_size", "2",
+        "--d_layers", "2", "--nepochs_no_decay", "1", "--nepochs_decay", "0",
+        "--checkpoints_dir", str(tmp_path / "ckpt"), "--name", "dsmode",
+        "--n_threads", "1",
+        "--no-use_vgg", "--no-use_face", "--no-use_style",
+    ])
+    assert int(state.step) > 0
+    import pytest
+    with pytest.raises(ValueError, match="unknown dataset"):
+        train.main([
+            "--dataset_mode", "bogus",
+            "--image_size", str(S), "--repeat_num", "1",
+            "--batch_size", "2", "--d_layers", "2",
+            "--nepochs_no_decay", "1", "--nepochs_decay", "0",
+            "--checkpoints_dir", str(tmp_path / "ckpt"), "--name", "bad",
+            "--n_threads", "1",
+            "--no-use_vgg", "--no-use_face", "--no-use_style",
+        ])
+
+
 def _fake_iper_tree(tmp_path, rng, n_videos=2, n_frames=6, size=64):
     """Fabricate the iPER on-disk layout (images + smpl pkls) plus a
     protocol JSON in the REAL reference schema
