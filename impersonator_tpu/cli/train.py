@@ -109,9 +109,14 @@ def main(argv=None):
         try:
             val_ds = dataset_by_name(dataset_name, cfg,
                                      ids_file=cfg.test_ids_file)
+            # sharded like the train loader: each host feeds its disjoint
+            # slice and (drop_last) every host yields the same batch count,
+            # keeping the lockstep val pass below in sync
             val_loader = DataLoader(val_ds, local_bs, num_workers=1,
                                     seed=cfg.seed + 1,
-                                    mesh=None if multiprocess else mesh)
+                                    mesh=None if multiprocess else mesh,
+                                    shard_index=jax.process_index(),
+                                    shard_count=jax.process_count())
             eval_fn = jax.jit(make_step(trainer, eval_only=True))
         except Exception as e:
             print(f"train: no validation split ({e}); val pass disabled")
@@ -129,7 +134,9 @@ def main(argv=None):
     is_chief = jax.process_index() == 0
     with mesh:
         for epoch in range(start_epoch, total_epochs):
-            state = trainer.set_lr(state, trainer.epoch_lr(epoch))
+            state = trainer.set_lr(
+                state, trainer.epoch_lr(epoch),
+                trainer.epoch_lr(epoch, base=cfg.lr_D))
             for batch in loader:
                 if multiprocess:
                     batch = global_shard_batch(batch, mesh)
@@ -145,10 +152,25 @@ def main(argv=None):
                                              dt / cfg.batch_size)
                     vis.log_scalars(i_step, epoch, errors)
                     last_print = time.time()
-                if (visuals_fn is not None and is_chief
-                        and time.time() - last_display > cfg.display_freq_s):
-                    # periodic visual dump (reference train.py:62-85)
-                    vis.save_images(i_step, visuals_fn(state, batch))
+                # display/val cadence. Multi-controller: EVERY process must
+                # launch the val computations (they run over the global
+                # mesh; a chief-only launch on non-fully-addressable arrays
+                # deadlocks the other hosts) at the SAME step — so the
+                # trigger is a deterministic step count, not drifting wall
+                # clocks. Single-process keeps the reference's wall-time
+                # cadence (train.py:62-85).
+                if multiprocess:
+                    do_display = i_step > 0 and (
+                        i_step % max(cfg.display_freq_steps, 1) == 0)
+                else:
+                    do_display = (time.time() - last_display
+                                  > cfg.display_freq_s)
+                if visuals_fn is not None and do_display:
+                    if not multiprocess and is_chief:
+                        # image dump is single-host only: the visuals are
+                        # image-sized global arrays a chief host cannot
+                        # materialize alone in multi-controller mode
+                        vis.save_images(i_step, visuals_fn(state, batch))
                     if eval_fn is not None and val_loader is not None:
                         val_errors: dict = {}
                         n_val = 0
@@ -163,7 +185,7 @@ def main(argv=None):
                                 val_errors[k] = (val_errors.get(k, 0.0)
                                                  + float(v))
                             n_val += 1
-                        if n_val:
+                        if n_val and is_chief:   # logging is host-side
                             val_errors = {k: v / n_val
                                           for k, v in val_errors.items()}
                             vis.print_current_errors(epoch, i_step,

@@ -157,6 +157,10 @@ class TrainConfig(BaseConfig):
     # logging / checkpoint cadence (train_options.py:9-15)
     print_freq_s: int = 60
     display_freq_s: int = 300
+    # multi-controller display/val cadence in STEPS: wall clocks drift
+    # across hosts, and the val pass launches collectives on globally
+    # sharded arrays, so every process must reach it at the same step
+    display_freq_steps: int = 500
     save_latest_freq_s: int = 3600
     num_iters_validate: int = 1
 

@@ -147,10 +147,10 @@ class PairedMetricRunner:
         self._frames = 0
 
     def _face_embed(self, imgs, bboxes):
-        try:
+        from impersonator_tpu.metrics.unpaired import accepts_bboxes
+        if bboxes is not None and accepts_bboxes(self.face_fn):
             return self.face_fn(imgs, bboxes)
-        except TypeError:   # extractor without a bbox parameter
-            return self.face_fn(imgs)
+        return self.face_fn(imgs)
 
     def update(self, preds, refs, pred_bboxes=None, ref_bboxes=None):
         preds = jnp.asarray(preds)

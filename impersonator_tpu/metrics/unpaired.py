@@ -16,6 +16,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def accepts_bboxes(fn: Callable) -> bool:
+    """Whether a face extractor takes a second (bboxes) argument —
+    probed from the signature ONCE rather than catching TypeError per
+    call, which would silently fall back to full-frame embeddings on
+    any internal TypeError and mix cropped/uncropped features within
+    one run."""
+    import inspect
+    try:
+        return len(inspect.signature(fn).parameters) >= 2
+    except (TypeError, ValueError):
+        return False
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """FID between two Gaussians (metrics.py FID implementation):
     |mu1-mu2|² + Tr(S1 + S2 - 2·sqrt(S1·S2)). Runs in float64 numpy — the
@@ -117,13 +130,12 @@ class UnpairedMetricRunner:
         if self.pcb_fn is not None:
             both("pcb", self.pcb_fn)
         if self.face_fn is not None:
+            crops = accepts_bboxes(self.face_fn)
+
             def face(imgs):
                 boxes = pred_bboxes if imgs is preds else ref_bboxes
-                if boxes is not None:
-                    try:
-                        return self.face_fn(imgs, jnp.asarray(boxes))
-                    except TypeError:  # extractor without a bbox param
-                        pass
+                if boxes is not None and crops:
+                    return self.face_fn(imgs, jnp.asarray(boxes))
                 return self.face_fn(imgs)
             both("face", face)
         if self.embed_fn is not None:

@@ -33,7 +33,7 @@ from impersonator_tpu.models import (
     InpaintSANet,
 )
 from impersonator_tpu.ops import morphology, smpl as smpl_ops
-from impersonator_tpu.ops.sampler import grid_sample, grid_sample_patched
+from impersonator_tpu.ops.sampler import grid_sample_patched
 from impersonator_tpu.tasks.renderer import SMPLRenderer
 
 
@@ -369,6 +369,10 @@ class Imitator:
         if self.detector is not None:
             _, body_mask = self.detector.inference(np.asarray(src_img))
             body_mask = jnp.asarray(body_mask, jnp.float32)
+        # kept for post-tune's src_info refresh, which re-runs
+        # personalize under the tuned generator and must reuse the SAME
+        # detector mask (not fall back to the cond-morph silhouette)
+        self._src_body_mask = body_mask
         self.src_info = self._personalize_jit(img, theta,
                                               ext_body_mask=body_mask)
         return self.src_info

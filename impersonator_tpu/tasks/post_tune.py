@@ -251,9 +251,13 @@ def adaptive_personalize(imit, prior_smpls=None, prior_poses_path=None,
             print(f"post_tune epoch {epoch}: "
                   + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
     imit.nets.gen_params = gen_params
-    # refresh cached source features under the tuned generator
+    # refresh cached source features under the tuned generator, reusing
+    # the detector body mask from the original personalize when one was
+    # used (otherwise the refreshed BG would silently switch to the
+    # cruder cond-morph silhouette)
     imit.src_info = imit._personalize_jit(
-        imit.src_info["img"], imit.src_info["theta"])
+        imit.src_info["img"], imit.src_info["theta"],
+        ext_body_mask=getattr(imit, "_src_body_mask", None))
     metrics = dict(metrics)
     metrics["cyc_history"] = cyc_history
     metrics["n_steps"] = n_steps

@@ -71,14 +71,12 @@ class SMPLRenderer:
         s = self.image_size
         nf = self.faces.shape[0]
         tile, cap, span = self.tile_params()
-        if tile and nf > 256 and jax.default_backend() == "tpu" \
-                and nf <= 60000:
+        bucket = self._bucket_config()
+        if bucket is not None:
             # Production TPU path: bucket-sorted work-efficient kernel
             # (ops/pallas_raster.zbuffer_bucket_rows; 8.9x the fixed-slot
-            # pipeline at 256²). txb tiles share a program; tpb ≤ 512
-            # keeps the kernel inside VMEM at any tile side. nf bound:
-            # the sorted face table must stay VMEM-resident.
-            txb = max(1, min(4, 512 // (tile * tile)))
+            # pipeline at 256²).
+            tile, span, txb = bucket
             fim, wim = rast.rasterize_fim_wim_bucket(
                 f2verts, s, self.near, self.far, tile=tile, span=span,
                 txb=txb)
@@ -114,6 +112,23 @@ class SMPLRenderer:
         nf = self.faces.shape[0]
         span = max(2, int(np.ceil(2.0 * np.sqrt(13776.0 / max(nf, 1)))))
         return tile, 288, span
+
+    def _bucket_config(self):
+        """(tile, span, txb) of the production bucket-Pallas path, or
+        ``None`` where it doesn't apply — the ONE gate shared by
+        render_fim_wim and render_flow so both always pick the same
+        kernel for the same geometry. Conditions: image tiles evenly,
+        mesh is big enough to amortize the sort (nf > 256) yet small
+        enough for the sorted face table to stay VMEM-resident
+        (nf ≤ 60000), and the backend is TPU (Mosaic). txb adjacent
+        tiles share a program; tpb ≤ 512 keeps any tile side in VMEM."""
+        tile, _, span = self.tile_params()
+        nf = self.faces.shape[0]
+        if not (tile and 256 < nf <= 60000
+                and jax.default_backend() == "tpu"):
+            return None
+        txb = max(1, min(4, 512 // (tile * tile)))
+        return tile, span, txb
 
     def tile_stats(self, f2verts):
         """Overflow diagnostics of the production tiled configuration —
@@ -160,13 +175,11 @@ class SMPLRenderer:
         render_fim_wim + correspondence_flow pair (bit-compatible
         semantics, ULP-level T drift between the two — tested)."""
         s = self.image_size
-        nf = self.faces.shape[0]
-        tile, cap, span = self.tile_params()
-        if tile and nf > 256 and jax.default_backend() == "tpu" \
-                and nf <= 60000:
+        bucket = self._bucket_config()
+        if bucket is not None:
+            tile, span, txb = bucket
             f2verts = rast.project_to_raster_space(
                 verts, cam, self.faces, self.eye_z_value)
-            txb = max(1, min(4, 512 // (tile * tile)))
             fim, t = rast.rasterize_flow_bucket(
                 f2verts, src_f2pts, s, self.near, self.far, tile=tile,
                 span=span, txb=txb)

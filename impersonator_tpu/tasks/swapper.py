@@ -21,7 +21,7 @@ from impersonator_tpu.assets import SMPLAssets
 from impersonator_tpu.config import TestConfig
 from impersonator_tpu.ops import flow as flow_ops
 from impersonator_tpu.ops import smpl as smpl_ops
-from impersonator_tpu.ops.sampler import grid_sample, grid_sample_patched
+from impersonator_tpu.ops.sampler import grid_sample_patched
 from impersonator_tpu.tasks import imitator as imitator_mod
 from impersonator_tpu.tasks.renderer import SMPLRenderer
 

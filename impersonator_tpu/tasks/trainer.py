@@ -39,7 +39,7 @@ from impersonator_tpu.models import losses as L
 from impersonator_tpu.models.facenet import Sphere20a
 from impersonator_tpu.models.losses import Vgg19
 from impersonator_tpu.ops import morphology, smpl as smpl_ops
-from impersonator_tpu.ops.sampler import (grid_sample, grid_sample_patched,
+from impersonator_tpu.ops.sampler import (grid_sample_patched,
                                           resize_bilinear_align)
 from impersonator_tpu.tasks.renderer import SMPLRenderer
 
@@ -145,22 +145,27 @@ class Trainer:
             g_opt=self.g_tx.init(g_params), d_opt=self.d_tx.init(d_params),
             step=jnp.zeros((), jnp.int32))
 
-    def epoch_lr(self, epoch: int) -> float:
+    def epoch_lr(self, epoch: int, base: float | None = None) -> float:
         """LR for 0-indexed ``epoch``. Reference semantics: the per-epoch
-        decay (lr_G − final_lr)/nepochs_decay is applied at the END of
+        decay (base − final_lr)/nepochs_decay is applied at the END of
         every 1-indexed epoch > nepochs_no_decay (train.py:51-53,
         update_learning_rate :492-507) — so epochs 0..nepochs_no_decay
-        run at lr_G and each later epoch runs one step lower, with
-        final_lr reached after the last epoch."""
+        run at ``base`` and each later epoch runs one step lower, with
+        final_lr reached after the last epoch. ``base`` defaults to lr_G;
+        pass cfg.lr_D for the discriminator's independent schedule
+        (the reference decays G and D separately, :492-507)."""
         cfg = self.cfg
-        step = (cfg.lr_G - cfg.final_lr) / max(cfg.nepochs_decay, 1)
-        return cfg.lr_G - step * max(0, epoch - cfg.nepochs_no_decay)
+        base = cfg.lr_G if base is None else base
+        step = (base - cfg.final_lr) / max(cfg.nepochs_decay, 1)
+        return base - step * max(0, epoch - cfg.nepochs_no_decay)
 
-    def set_lr(self, state: TrainState, lr: float) -> TrainState:
+    def set_lr(self, state: TrainState, lr_g: float,
+               lr_d: float | None = None) -> TrainState:
         g_opt = state.g_opt
         d_opt = state.d_opt
-        g_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        d_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        g_opt.hyperparams["learning_rate"] = jnp.asarray(lr_g, jnp.float32)
+        d_opt.hyperparams["learning_rate"] = jnp.asarray(
+            lr_g if lr_d is None else lr_d, jnp.float32)
         return state._replace(g_opt=g_opt, d_opt=d_opt)
 
 

@@ -116,11 +116,11 @@ class BaselineTrainer:
     def cfg(self):
         return self.inner.cfg
 
-    def epoch_lr(self, epoch):
-        return self.inner.epoch_lr(epoch)
+    def epoch_lr(self, epoch, base=None):
+        return self.inner.epoch_lr(epoch, base)
 
-    def set_lr(self, state, lr):
-        return self.inner.set_lr(state, lr)
+    def set_lr(self, state, lr_g, lr_d=None):
+        return self.inner.set_lr(state, lr_g, lr_d)
 
     def init_state(self, rng=None) -> TrainState:
         cfg = self.cfg

@@ -85,9 +85,12 @@ class Viewer:
             imitator_mod.personalize_core, renderer=self.renderer,
             parents=self.parents, bg_ks=cfg.bg_ks, ft_ks=cfg.ft_ks,
             only_vis=cfg.only_vis))
-        self._personalize_jit = lambda img, theta: _pers(
-            self.nets, smpl_params=self.smpl_params, img=img,
-            src_theta=theta)
+        # ext_body_mask kwarg for signature parity with Imitator's
+        # personalize (post_tune's src_info refresh passes it; the
+        # viewer has no detector so it is None there)
+        self._personalize_jit = lambda img, theta, ext_body_mask=None: \
+            _pers(self.nets, smpl_params=self.smpl_params, img=img,
+                  src_theta=theta, ext_body_mask=ext_body_mask)
         compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else None)
         _view = jax.jit(partial(

@@ -224,6 +224,20 @@ def test_epoch_lr_matches_reference_schedule():
     assert tr.epoch_lr(5) == 2e-4        # first decay epoch still at lr_G
     assert np.isclose(tr.epoch_lr(30), 2e-6)   # post-schedule floor
 
+    # D's schedule is independent (update_learning_rate decays G and D
+    # separately): a non-default lr_D must drive BOTH its plateau and
+    # its own (lr_D - final)/nepochs_decay slope, and set_lr must write
+    # the two optimizers' hyperparams independently
+    assert np.isclose(tr.epoch_lr(0, base=1e-4), 1e-4)
+    assert np.isclose(tr.epoch_lr(6, base=1e-4),
+                      1e-4 - (1e-4 - 2e-6) / 25)
+    state = tr.init_state()
+    state = tr.set_lr(state, tr.epoch_lr(6), tr.epoch_lr(6, base=1e-4))
+    g_lr = float(state.g_opt.hyperparams["learning_rate"])
+    d_lr = float(state.d_opt.hyperparams["learning_rate"])
+    assert np.isclose(g_lr, 2e-4 - (2e-4 - 2e-6) / 25, rtol=1e-6)
+    assert np.isclose(d_lr, 1e-4 - (1e-4 - 2e-6) / 25, rtol=1e-6)
+
 
 def test_detector_mask_substitution(assets, capsys):
     """--has_detector wiring (reference imitator.py:116-122): a detector
@@ -261,6 +275,14 @@ def test_detector_mask_substitution(assets, capsys):
     # the substituted mask changes the BG-inpainting input/output
     assert np.abs(np.asarray(with_det["bg"])
                   - np.asarray(base["bg"])).max() > 1e-6
+    # the mask is retained so post-tune's src_info refresh reuses it
+    # instead of silently reverting to the cond-morph silhouette
+    assert imit._src_body_mask is not None
+    refreshed = imit._personalize_jit(
+        with_det["img"], with_det["theta"],
+        ext_body_mask=imit._src_body_mask)
+    assert np.allclose(np.asarray(refreshed["bg"]),
+                       np.asarray(with_det["bg"]))
 
 
 def test_swapper_tune_lr_schedule():
