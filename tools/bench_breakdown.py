@@ -1,5 +1,9 @@
 """Per-stage throughput breakdown of the imitation pipeline on the
-attached accelerator. Run: python tools/bench_breakdown.py [batch]"""
+attached accelerator. Run: python tools/bench_breakdown.py [batch]
+
+``--sweep`` additionally grid-searches the bucket-kernel schedule
+(txb × chunk) on TPU and prints a ms table — the tuning loop for
+``SMPLRenderer._bucket_config``'s constants."""
 
 import os
 
@@ -101,6 +105,32 @@ def main():
         print(f"patch warp  : {t_warp*1e3:8.2f} ms  ({batch/t_warp:8.1f} fps)")
     print(f"full step   : {t_gen*1e3:8.2f} ms  ({batch/t_gen:8.1f} fps)  "
           f"[smpl + raster+flow + warp + LWB decode]")
+
+    # ---- optional schedule sweep (TPU only) -----------------------------
+    if "--sweep" in sys.argv and jax.default_backend() == "tpu":
+        print("\nbucket-kernel schedule sweep (raster / fused raster+flow,"
+              " ms per batch):")
+        print(f"{'txb':>4} {'chunk':>6} {'raster':>9} {'r+flow':>9}")
+        g = 256 // tile
+        for txb in (1, 2, 4, 8):
+            if g % txb:
+                continue
+            for chunk in (64, 128, 256):
+                try:
+                    r_fn = jax.jit(lambda f, tx=txb, ck=chunk:
+                                   rast.rasterize_fim_wim_bucket(
+                                       f, 256, tile=tile, span=span,
+                                       txb=tx, chunk=ck))
+                    f_fn = jax.jit(lambda f, p, tx=txb, ck=chunk:
+                                   rast.rasterize_flow_bucket(
+                                       f, p, 256, tile=tile, span=span,
+                                       txb=tx, chunk=ck))
+                    tr_ms = timeit(r_fn, fv) * 1e3
+                    tf_ms = timeit(f_fn, fv, p2) * 1e3
+                    print(f"{txb:>4} {chunk:>6} {tr_ms:>9.2f} {tf_ms:>9.2f}")
+                except Exception as e:
+                    print(f"{txb:>4} {chunk:>6}  failed: "
+                          f"{str(e).splitlines()[0][:60]}")
 
 
 if __name__ == "__main__":
