@@ -132,6 +132,9 @@ def main(argv=None):
     last_save = time.time()
     last_display = time.time()
     is_chief = jax.process_index() == 0
+    # serialization + disk IO of the 4 G/D pytrees happens off-thread
+    # while the next steps run (utils.checkpoint.AsyncCheckpointer)
+    saver = ckpt.AsyncCheckpointer() if is_chief else None
     with mesh:
         for epoch in range(start_epoch, total_epochs):
             state = trainer.set_lr(
@@ -195,12 +198,14 @@ def main(argv=None):
                     last_display = time.time()
                 if time.time() - last_save > cfg.save_latest_freq_s \
                         and is_chief:
-                    ckpt.save_train_state(state, cfg.expr_dir(), "latest")
+                    saver.submit(state, cfg.expr_dir(), "latest")
                     last_save = time.time()
                 i_step += 1
             if is_chief:
-                ckpt.save_train_state(state, cfg.expr_dir(), epoch + 1)
+                saver.submit(state, cfg.expr_dir(), epoch + 1)
                 print(f"saved epoch {epoch + 1}", flush=True)
+    if saver is not None:
+        saver.close()   # drain queued saves; re-raise writer errors
     print("training done.", flush=True)
     return state
 

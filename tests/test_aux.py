@@ -548,3 +548,40 @@ def test_visual_iper_tool(tmp_path, rng):
     mid = trip[:, S:2 * S]
     # debug texture paints covered pixels white on a black background
     assert (mid.max(axis=-1) > 200).any() and (mid.min(axis=-1) < 30).any()
+
+
+def test_async_checkpointer(tmp_path, rng):
+    """Background saves land atomically, supersede same-key queued
+    snapshots, round-trip through load_train_state, and surface writer
+    errors on wait()."""
+    import collections
+    import jax.numpy as jnp
+    import pytest
+    from impersonator_tpu.utils import checkpoint as ckpt
+
+    TS = collections.namedtuple("TS", "g_params d_params g_opt d_opt")
+
+    def mk(v):
+        a = jnp.full((4, 4), float(v), jnp.float32)
+        return TS({"w": a}, {"w": a + 1}, {"m": a * 2}, {"m": a * 3})
+
+    saver = ckpt.AsyncCheckpointer()
+    saver.submit(mk(1), str(tmp_path), 1)
+    saver.submit(mk(2), str(tmp_path), "latest")
+    saver.submit(mk(3), str(tmp_path), "latest")   # supersedes v=2
+    saver.wait()
+
+    tpl = mk(0)
+    got1 = ckpt.load_train_state(tpl, str(tmp_path), 1)
+    assert float(got1.g_params["w"][0, 0]) == 1.0
+    gotl = ckpt.load_train_state(tpl, str(tmp_path), "latest")
+    assert float(gotl.g_params["w"][0, 0]) == 3.0
+    assert float(gotl.d_opt["m"][0, 0]) == 9.0
+    # no stray .tmp files (atomic rename)
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+    # writer errors surface on the NEXT wait, not silently
+    saver.submit(mk(4), str(tmp_path / "nodir" / "x\0bad"), 1)
+    with pytest.raises(Exception):
+        saver.wait()
+    saver.close()
