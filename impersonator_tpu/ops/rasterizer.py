@@ -338,7 +338,14 @@ def rasterize_fim_wim_bucket(
     interpret: bool = False,
 ):
     """Work-efficient rasterizer. Same contract as
-    :func:`rasterize_fim_wim`; bit-exact against it (tested).
+    :func:`rasterize_fim_wim`; bit-exact against it (tested). One known,
+    accepted divergence: a face whose three projected verts are all
+    IDENTICAL zeroes every edge cross-product, so the per-pixel inside
+    test passes everywhere — the brute path (like the reference's
+    per-pixel-over-all-faces CUDA kernel) lets it contend for the whole
+    screen, while bbox bucketing confines it to one pixel. No real
+    projected mesh produces such a face (tests/test_rasterizer
+    fuzz-covers collinear degenerates, which agree).
 
     Faces are argsorted once by their top-left covered tile (the
     "bucket" — span² pair enumeration and its 9× bigger sort are gone),

@@ -354,3 +354,56 @@ def test_flow_bucket_matches_two_step(assets):
     bg = np.asarray(fim_b) < 0
     assert (np.asarray(t_b)[bg] == -2.0).all()
     assert bg.sum() > 100 and (~bg).sum() > 100
+
+
+@pytest.mark.parametrize("seed", [7, 19, 42])
+def test_bucket_matches_brute_fuzz(seed):
+    """Multi-seed fuzz over hostile scenes: ~half the triangles with
+    flipped winding (back faces — the bucket sort alone must cull them
+    since the kernel carries no in-kernel backface test), zero-area
+    degenerates, near-plane violators, a dense overlap cluster, and two
+    batch entries with different geometry."""
+    rng = np.random.default_rng(seed)
+    nf = 240
+    fv = _random_faces(rng, 2, nf)
+    # flip winding on a random half -> back faces
+    flip = rng.random((2, nf)) < 0.5
+    fv[flip] = fv[flip][:, ::-1]
+    # a handful of zero-area degenerates: collinear but DISTINCT verts.
+    # (All-three-identical verts make every edge cross-product exactly 0,
+    # so the inside test passes at EVERY pixel: the brute path — like
+    # the reference CUDA kernel, a per-pixel loop over all faces,
+    # rasterize_cuda_kernel.cu:122-134 — lets such a face contend for
+    # the whole screen, while the bbox-localized bucket/tiled paths
+    # confine it to its single-pixel bbox. A known, accepted divergence
+    # for inputs no real projected mesh produces; collinear faces
+    # exercise denom==0 without tripping it.)
+    for bi in range(2):
+        for fn_ in rng.choice(nf, 5, replace=False):
+            a, b2 = fv[bi, fn_, 0, :2], fv[bi, fn_, 1, :2]
+            fv[bi, fn_, 2, :2] = a + 2.0 * (b2 - a)   # on the same line
+    # near-plane violators (z < near on every vertex)
+    fv[:, -8:, :, 2] = 0.05
+    # dense overlap cluster near the center
+    fv[:, 100:140, :, :2] = (rng.uniform(-0.1, 0.1, (2, 40, 3, 2))
+                             .astype(np.float32))
+    fv = jnp.asarray(fv)
+    s = 64
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s, chunk=80)
+    fim_b, wim_b = rast.rasterize_fim_wim_bucket(fv, s, tile=8, span=3,
+                                                 txb=2, interpret=True)
+    fim_a, fim_b = np.asarray(fim_a), np.asarray(fim_b)
+    # z-ties between distinct overlapping faces are fp-order sensitive;
+    # everything else must agree exactly
+    assert (fim_a == fim_b).mean() > 0.999
+    agree = fim_a == fim_b
+    np.testing.assert_allclose(np.asarray(wim_a)[agree],
+                               np.asarray(wim_b)[agree], atol=2e-4)
+    # no back face may win anywhere (winding test on the winners)
+    fvn = np.asarray(fv)
+    for bi in range(2):
+        winners = np.unique(fim_b[bi][fim_b[bi] >= 0])
+        x, y = fvn[bi, winners, :, 0], fvn[bi, winners, :, 1]
+        front = ((y[:, 2] - y[:, 0]) * (x[:, 1] - x[:, 0])
+                 >= (y[:, 1] - y[:, 0]) * (x[:, 2] - x[:, 0]))
+        assert front.all()
