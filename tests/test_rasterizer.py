@@ -407,3 +407,18 @@ def test_bucket_matches_brute_fuzz(seed):
         front = ((y[:, 2] - y[:, 0]) * (x[:, 1] - x[:, 0])
                  >= (y[:, 1] - y[:, 0]) * (x[:, 2] - x[:, 0]))
         assert front.all()
+
+    # fused raster+flow on the same hostile scene: identical fim, T
+    # agreeing wherever the z-winner agrees, exact BG_FLOW elsewhere
+    from impersonator_tpu.ops import flow as flow_ops
+    src_f2pts = jnp.asarray(
+        rng.uniform(-1, 1, (1, nf, 3, 2)).astype(np.float32))
+    fim_f, t_f = rast.rasterize_flow_bucket(fv, src_f2pts, s, tile=8,
+                                            span=3, txb=2, interpret=True)
+    fim_f = np.asarray(fim_f)
+    assert (fim_f == fim_b).all()
+    t_two = np.asarray(flow_ops.correspondence_flow(src_f2pts,
+                                                    jnp.asarray(fim_b),
+                                                    wim_b))
+    np.testing.assert_allclose(np.asarray(t_f), t_two, atol=1e-5)
+    assert (np.asarray(t_f)[fim_f < 0] == -2.0).all()
