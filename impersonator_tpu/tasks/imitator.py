@@ -346,6 +346,11 @@ class Imitator:
                 cam_strategy=cam_strategy)
         _hmr = jax.jit(self.nets.hmr.apply)
         self._hmr_jit = lambda img: _hmr(self.nets.hmr_params, img)
+        # uint8 ingest: the [-1,1] normalize runs on device, fused into
+        # HMR's first conv (inference_from_paths ships u8 over H2D)
+        _hmr_u8 = jax.jit(lambda p, u8: self.nets.hmr.apply(
+            p, u8.astype(jnp.float32) / 127.5 - 1.0))
+        self._hmr_u8_jit = lambda u8: _hmr_u8(self.nets.hmr_params, u8)
 
     # --- HMR -----------------------------------------------------------
 
@@ -418,10 +423,14 @@ class Imitator:
         except ImportError:
             use_native = False
 
+        # frames cross host->device as uint8 RGB (4x fewer bytes than
+        # fp32 — H2D rides the PCIe/tunnel bottleneck) and normalize to
+        # [-1,1] ON device, fused into the HMR forward
         def batches():
             if use_native:
                 loader = native.NativeImageLoader(224, threads=3,
-                                                  capacity=2 * batch)
+                                                  capacity=2 * batch,
+                                                  u8=True)
                 ahead = min(2 * batch, len(all_paths))
                 for p in all_paths[:ahead]:
                     loader.submit(p)
@@ -437,11 +446,15 @@ class Imitator:
                         buf = []
                 loader.close()
             else:
+                import cv2
                 from concurrent.futures import ThreadPoolExecutor
                 from impersonator_tpu.utils import cv_utils
 
                 def read(p):
-                    return cv_utils.resize_img_hwc(cv_utils.read_img(p), 224)
+                    img = cv_utils.read_img(p)   # uint8 RGB
+                    if img.shape[0] != 224 or img.shape[1] != 224:
+                        img = cv2.resize(img, (224, 224))
+                    return img
 
                 with ThreadPoolExecutor(4) as ex:
                     it = ex.map(read, all_paths)
@@ -455,7 +468,7 @@ class Imitator:
         outs = []
         first_cam = None
         for chunk in batches():
-            thetas = self._hmr_jit(jnp.asarray(chunk))
+            thetas = self._hmr_u8_jit(jnp.asarray(chunk))
             if first_cam is None:
                 first_cam = thetas[0:1, 0:3]
                 self.first_cam = first_cam

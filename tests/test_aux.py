@@ -189,6 +189,19 @@ def test_native_loader_matches_cv2(tmp_path, rng):
     assert tags == list(range(5))
     loader.close()
 
+    # u8 mode: same bilinear result rounded to uint8 (H2D ships 4x
+    # fewer bytes; normalize-on-device is x/127.5 - 1)
+    ours8 = native.decode_resize_u8(p, 48)
+    assert ours8.dtype == np.uint8
+    np.testing.assert_allclose(ours8.astype(np.float32) / 127.5 - 1.0,
+                               ref, atol=1.01 / 127.5)
+    loader8 = native.NativeImageLoader(48, threads=2, u8=True)
+    loader8.submit(p, 7)
+    frame8, tag8 = loader8.next()
+    assert frame8.dtype == np.uint8 and tag8 == 7
+    np.testing.assert_array_equal(frame8, ours8)
+    loader8.close()
+
 
 def test_frechet_distance_properties(rng):
     from impersonator_tpu.metrics import frechet_distance, gaussian_stats
