@@ -60,16 +60,18 @@ def main(argv=None):
 
     frames = collect_frames(cfg.tgt_path)
     # streaming feed: host decode (native C++ prefetch when built)
-    # overlaps device compute
+    # overlaps device compute; predictions come back quantized to uint8
+    # on device (4x smaller readback)
     preds = np.asarray(imitator.inference_from_paths(
-        frames, cam_strategy=cfg.cam_strategy))
+        frames, cam_strategy=cfg.cam_strategy, as_uint8=True))
 
     if cfg.save_res and cfg.output_dir:
         os.makedirs(cfg.output_dir, exist_ok=True)
         for p, pred in zip(frames, preds):
             name = os.path.split(p)[-1]
             cv_utils.save_img(pred, os.path.join(cfg.output_dir,
-                                                 "pred_" + name))
+                                                 "pred_" + name),
+                              normalize=False)
         if len(preds) > 1:
             try:
                 frames_to_mp4(preds, os.path.join(cfg.output_dir, "pred.mp4"))

@@ -406,12 +406,17 @@ class Imitator:
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
     def inference_from_paths(self, paths, cam_strategy: str = "smooth",
-                             batch: int = 8):
+                             batch: int = 8, as_uint8: bool = False):
         """Stream frames from disk: host decode (the C++ prefetch loader
         from csrc/dataloader.cpp when built — GIL-free libjpeg threads —
         else a cv2 thread pool) overlapped with device compute. This is
         the production video feed; the reference's loop does synchronous
-        cv2 reads per frame (imitator.py:270-283)."""
+        cv2 reads per frame (imitator.py:270-283).
+
+        ``as_uint8``: quantize predictions to RGB uint8 ON DEVICE — the
+        frames are destined for disk/video anyway, and u8 makes the
+        device->host readback 4x smaller (it rides the same PCIe/tunnel
+        bottleneck the uint8 ingest avoids)."""
         assert self.src_info is not None, "call personalize() first"
         n = len(paths)
         pad = (-n) % batch
@@ -465,6 +470,8 @@ class Imitator:
                             yield np.stack(buf)
                             buf = []
 
+        quant = jax.jit(lambda x: jnp.clip(
+            jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8))
         outs = []
         first_cam = None
         for chunk in batches():
@@ -472,8 +479,9 @@ class Imitator:
             if first_cam is None:
                 first_cam = thetas[0:1, 0:3]
                 self.first_cam = first_cam
-            outs.append(self._imitate_swap_jit(
-                self.src_info, thetas, first_cam, cam_strategy=cam_strategy))
+            pred = self._imitate_swap_jit(
+                self.src_info, thetas, first_cam, cam_strategy=cam_strategy)
+            outs.append(quant(pred) if as_uint8 else pred)
         out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
         return out[:n]
 
