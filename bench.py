@@ -125,7 +125,7 @@ def main():
 
     # ---- end-to-end with host IO in the measured loop: JPEG decode
     # (native C++ prefetch loader when built) -> HMR -> imitation --------
-    fps_e2e = None
+    fps_e2e = fps_e2e_rb = None
     try:
         import cv2
         frame_dir = "/tmp/bench_frames"
@@ -143,6 +143,15 @@ def main():
         out = imit.inference_from_paths(paths, batch=batch)
         jax.block_until_ready(out)
         fps_e2e = n_frames / (time.perf_counter() - t0)
+        # the COMPLETE video job: u8 decode -> H2D -> imitate -> u8
+        # quantize -> D2H readback to host memory
+        out = np.asarray(imit.inference_from_paths(
+            paths[:batch], batch=batch, as_uint8=True))
+        t0 = time.perf_counter()
+        out = np.asarray(imit.inference_from_paths(
+            paths, batch=batch, as_uint8=True))
+        fps_e2e_rb = n_frames / (time.perf_counter() - t0)
+        assert out.dtype == np.uint8 and out.shape[0] == n_frames
     except Exception as e:  # bench must still report device numbers
         print(f"# e2e host-io bench skipped: {e}")
 
@@ -266,6 +275,8 @@ def main():
     }
     if fps_e2e is not None:
         result["fps_e2e_host_io"] = round(fps_e2e / n_chips, 3)
+    if fps_e2e_rb is not None:
+        result["fps_e2e_with_readback"] = round(fps_e2e_rb / n_chips, 3)
     if raster_parity is not None:
         result["raster_parity"] = raster_parity
     if train_ms is not None:
