@@ -40,8 +40,14 @@ from impersonator_tpu.metrics.protocols import build_protocol
 from impersonator_tpu.tasks.imitator import Imitator
 from impersonator_tpu.utils import cv_utils
 
+from impersonator_tpu.metrics.metrics import (
+    TYPES_QUALITIES as _BASE_QUALITIES,
+)
+
+# extend (not shadow) the package's polarity table so a polarity change
+# there propagates to results.txt labeling here
 TYPES_QUALITIES = {
-    "ssim": "higher", "psnr": "higher", "lps": "lower",
+    **_BASE_QUALITIES,
     "is": "higher", "fid": "lower", "OS-CS-reid": "higher",
     "OS-freid": "lower", "PCB-CS-reid": "higher", "PCB-freid": "lower",
     "face-CS": "higher", "face-FD": "lower", "SSPE": "lower",
@@ -111,9 +117,7 @@ def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
     return lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn
 
 
-def _read_batch(paths, size):
-    return np.stack([
-        cv_utils.resize_img_hwc(cv_utils.read_img(p), size) for p in paths])
+_read_batch = cv_utils.load_image_batch
 
 
 def _head_bboxes(imitator, thetas):
@@ -217,6 +221,13 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
             continue
 
         # --- personalization on source frame 0 (evaluate.py:103-113) ---
+        if len(unit.src_paths) > 1:
+            print(f"evaluate: {unit.video_id}: protocol offers "
+                  f"{len(unit.src_paths)} source views but the imitator "
+                  "personalizes on ONE image; using src frame 0 "
+                  "(multi-source personalization is a model capability "
+                  "this generator family does not have — same as the "
+                  "reference's imitator)")
         src_img = cv_utils.resize_img_hwc(
             cv_utils.read_img(unit.src_paths[0]), cfg.image_size)
         src_smpl = (unit.src_smpls[0] if unit.src_smpls is not None else None)

@@ -40,7 +40,15 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
 
 @partial(jax.jit, static_argnames=("data_range",))
 def ssim(a: jax.Array, b: jax.Array, data_range: float = 2.0) -> jax.Array:
-    """Mean SSIM over a batch. a, b: (B, H, W, C) in [-1, 1] (range 2)."""
+    """Mean SSIM over a batch. a, b: (B, H, W, C) in [-1, 1] (range 2).
+
+    Deliberately matches the REFERENCE's convention, which converts to
+    [-1, 1] and calls skimage with the dtype-inferred data_range=2
+    (his_evaluators/metrics/metrics.py:456-492 SSIMMetric.preprocess/
+    forward). Note SSIM's luminance term is not shift-invariant, so
+    scores on [-1,1] data differ from canonical SSIM on [0,1] pixels —
+    but the reference's published numbers were computed exactly this
+    way, and comparability wins."""
     k = _gaussian_kernel()[:, :, None, None]  # HWIO, per-channel depthwise
     c = a.shape[-1]
     kernel = jnp.tile(k, (1, 1, 1, c))
@@ -103,11 +111,8 @@ def sspe_score(pred_smpls, ref_smpls) -> float:
 
 
 def _paired_cosine(a, b) -> float:
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
-    an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-9)
-    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-9)
-    return float((an * bn).sum(axis=1).mean())
+    from impersonator_tpu.metrics.unpaired import matched_cosine
+    return matched_cosine(a, b)
 
 
 class PairedMetricRunner:

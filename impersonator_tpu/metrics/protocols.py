@@ -117,7 +117,9 @@ class Protocol:
             b, e = (info["self_imitation"]["begin"],
                     info["self_imitation"]["end"])
             si_paths = frames[b:e]          # legacy fixtures: end-exclusive
-            si_idx = list(range(b, e))
+            # clip like the slice does — an over-long range must not make
+            # own[si_idx] fancy-index past the pkl's rows
+            si_idx = list(range(b, min(e, len(frames))))
             cross = info.get("cross_imitation") or {}
             ci_video = cross.get("videoID")
             ci_range = ((cross["begin"], cross["end"]) if ci_video else None)

@@ -38,12 +38,17 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     s2 = np.asarray(sigma2, np.float64)
     diff = mu1 - mu2
 
-    # sqrt(S1 S2) via eigen-decomposition of the symmetrized product
+    # Tr sqrt(S1 S2) via the SYMMETRIC route: the eigenvalues of S1·S2
+    # equal those of A = S1^(1/2) S2 S1^(1/2), which is symmetric PSD —
+    # so two eighs give the trace stably. The naive eig+inv of the
+    # non-symmetric product amplifies error catastrophically for the
+    # rank-deficient covariances FID always has (N frames << 2048 dims).
     offset = np.eye(s1.shape[0]) * eps
-    prod = (s1 + offset) @ (s2 + offset)
-    eigvals, eigvecs = np.linalg.eig(prod)
-    sqrt_prod = (eigvecs * np.sqrt(np.maximum(eigvals, 0))) @ np.linalg.inv(eigvecs)
-    tr_covmean = np.trace(sqrt_prod.real)
+    w1, v1 = np.linalg.eigh(s1 + offset)
+    s1_half = (v1 * np.sqrt(np.maximum(w1, 0.0))) @ v1.T
+    a = s1_half @ (s2 + offset) @ s1_half
+    wa = np.linalg.eigvalsh((a + a.T) / 2.0)
+    tr_covmean = np.sum(np.sqrt(np.maximum(wa, 0.0)))
     return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2 * tr_covmean)
 
 
@@ -69,10 +74,18 @@ def inception_score(probs: np.ndarray, splits: int = 10) -> float:
     return float(np.mean(scores))
 
 
-def _cosine(pred: np.ndarray, ref: np.ndarray) -> float:
+def matched_cosine(pred: np.ndarray, ref: np.ndarray) -> float:
+    """Mean row-wise cosine similarity of matched embeddings — the ONE
+    implementation behind both the paired (face-CS/OS-CS-reid) and
+    unpaired CS metrics."""
+    pred = np.asarray(pred, np.float64)
+    ref = np.asarray(ref, np.float64)
     pn = pred / np.maximum(np.linalg.norm(pred, axis=1, keepdims=True), 1e-9)
     rn = ref / np.maximum(np.linalg.norm(ref, axis=1, keepdims=True), 1e-9)
     return float((pn * rn).sum(axis=1).mean())
+
+
+_cosine = matched_cosine   # internal alias (pre-rename call sites)
 
 
 class UnpairedMetricRunner:

@@ -276,6 +276,26 @@ def swapper_tune_lr(i: int, init_lr: float = 2e-4,
     return max(init_lr - decay * (i - fix_iters + 1), final_lr)
 
 
+def merge_pair_batches(batch_a: dict, batch_b: dict) -> dict:
+    """Concatenate two build_meta_pairs batches along the batch axis.
+
+    ``pseudo_masks`` stacks [src rows..., tsf rows...] WITHIN each
+    batch, and make_tune_step's mask BCE compares against
+    concat([fs_mask(A,B), ft_mask(A,B)]) — so the merge must keep the
+    kinds grouped ([srcA, srcB, tsfA, tsfB]); a naive per-key concat
+    would interleave per batch and supervise half the masks against
+    the wrong targets."""
+    out = {}
+    for k in batch_a:
+        a, b = batch_a[k], batch_b[k]
+        if k == "pseudo_masks":
+            na, nb = a.shape[0] // 2, b.shape[0] // 2
+            out[k] = jnp.concatenate([a[:na], b[:nb], a[na:], b[nb:]], 0)
+        else:
+            out[k] = jnp.concatenate([a, b], axis=0)
+    return out
+
+
 def post_tune_swapper(swapper, iters: int = 50, lr: float = 2e-4,
                       verbose: bool = False):
     """Two-image bidirectional cycle tune (Swapper.post_personalize,
@@ -294,8 +314,7 @@ def post_tune_swapper(swapper, iters: int = 50, lr: float = 2e-4,
     batch_a = build_meta_pairs(shim, swapper.tsf_info["theta"])
     shim.src_info = swapper.tsf_info
     batch_b = build_meta_pairs(shim, swapper.src_info["theta"])
-    batch = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), batch_a, batch_b)
+    batch = merge_pair_batches(batch_a, batch_b)
     bg = jnp.concatenate([swapper.src_info["bg"], swapper.tsf_info["bg"]], 0)
 
     tx = optax.inject_hyperparams(optax.adam)(

@@ -231,35 +231,7 @@ def make_loss_fns(trainer: Trainer):
     is only well-defined given fixed inputs (driver dryrun stage 3)."""
     cfg = trainer.cfg
     gen, disc = trainer.generator, trainer.discriminator
-
-    # Mixed-precision policy for the train step (cfg.train_dtype): fp32
-    # master params are cast to bf16 for the G/D/VGG forwards; grads flow
-    # through the cast back into fp32 optax accumulators; every loss term
-    # is computed on fp32-restored outputs. Flow fields (last dim 2) stay
-    # fp32 for coordinate precision, mirroring inference's gen_apply
-    # policy (tasks/imitator.py:109-130).
-    tdtype = (jnp.bfloat16
-              if getattr(cfg, "train_dtype", "float32") == "bfloat16"
-              else None)
-
-    def _pol(apply_fn, params, *args):
-        if tdtype is None:
-            return apply_fn(params, *args)
-        from impersonator_tpu.tasks.imitator import _cast_tree
-        params = _cast_tree(params, tdtype)
-
-        def cast_in(a):
-            if isinstance(a, (list, tuple)):
-                return type(a)(cast_in(x) for x in a)
-            if (hasattr(a, "dtype") and a.dtype == jnp.float32
-                    and a.ndim == 4 and a.shape[-1] != 2):
-                return a.astype(tdtype)
-            return a
-
-        out = apply_fn(params, *(cast_in(a) for a in args))
-        return jax.tree_util.tree_map(
-            lambda x: (x.astype(jnp.float32) if hasattr(x, "dtype")
-                       and x.dtype == tdtype else x), out)
+    _pol = make_policy(cfg)
 
     def _g_forward(g_params, inputs):
         """Trainer forward (impersonator_trainer.forward :325-346)."""
@@ -341,6 +313,40 @@ def make_loss_fns(trainer: Trainer):
                       "d_loss": loss}
 
     return g_loss_fn, d_loss_fn
+
+
+def make_policy(cfg):
+    """Mixed-precision policy for a train step (cfg.train_dtype): fp32
+    master params are cast to bf16 for the G/D/VGG forwards; grads flow
+    through the cast back into fp32 optax accumulators; every loss term
+    is computed on fp32-restored outputs. Flow fields (last dim 2) stay
+    fp32 for coordinate precision, mirroring inference's gen_apply
+    policy (tasks/imitator.py:109-130). Shared by the base and aug
+    trainers so --train_dtype behaves identically in both."""
+    tdtype = (jnp.bfloat16
+              if getattr(cfg, "train_dtype", "float32") == "bfloat16"
+              else None)
+
+    def _pol(apply_fn, params, *args):
+        if tdtype is None:
+            return apply_fn(params, *args)
+        from impersonator_tpu.tasks.imitator import _cast_tree
+        params = _cast_tree(params, tdtype)
+
+        def cast_in(a):
+            if isinstance(a, (list, tuple)):
+                return type(a)(cast_in(x) for x in a)
+            if (hasattr(a, "dtype") and a.dtype == jnp.float32
+                    and a.ndim == 4 and a.shape[-1] != 2):
+                return a.astype(tdtype)
+            return a
+
+        out = apply_fn(params, *(cast_in(a) for a in args))
+        return jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.float32) if hasattr(x, "dtype")
+                       and x.dtype == tdtype else x), out)
+
+    return _pol
 
 
 def make_train_step(trainer: Trainer, train_d: bool = True,

@@ -27,15 +27,19 @@ from impersonator_tpu.tasks.trainer import (
     Trainer,
     body_recovery_flow,
     build_trainer,
+    make_policy,
 )
 
 
 def build_aug_trainer(cfg: TrainConfig, assets: SMPLAssets | None = None,
                       rng=None) -> Trainer:
-    """Base trainer with the discriminator swapped for Global+Local."""
+    """Base trainer with the discriminator swapped for Global+Local
+    (n_layers follows --d_layers like the base PatchGAN; the reference
+    aug trainer also builds its D at n_layers=4,
+    impersonator_trainer_aug.py:220-222)."""
     trainer = build_trainer(cfg, assets, rng)
     trainer.discriminator = GlobalLocalDiscriminator(
-        ndf=64, n_layers=3, norm_type=cfg.norm_type)
+        ndf=64, n_layers=cfg.d_layers, norm_type=cfg.norm_type)
     return trainer
 
 
@@ -59,6 +63,8 @@ def make_aug_train_step(trainer: Trainer, train_d: bool = True):
     gen, disc = trainer.generator, trainer.discriminator
     renderer, smpl_params = trainer.renderer, trainer.smpl_params
     parents = trainer.assets.parents
+    # same --train_dtype mixed-precision policy as the base trainer
+    _pol = make_policy(cfg)
 
     def prepare(batch):
         images, smpls, aug_bg = batch["images"], batch["smpls"], batch["bg"]
@@ -74,14 +80,14 @@ def make_aug_train_step(trainer: Trainer, train_d: bool = True):
         inputs["input_G_aug_bg"] = jax.lax.stop_gradient(input_g_aug_bg)
         return inputs, src_img, tsf_img, aug_bg
 
-    def g_forward(g_params, inputs):
+    def _g_forward(g_params, inputs):
         streams = [inputs["input_G_bg"], inputs["input_G_aug_bg"]]
         if cfg.bg_both:
             streams.append(inputs["input_G_tsf_bg"])
         bg_in = jnp.concatenate(streams, axis=0)
-        fake_bg, src_color, src_mask, tsf_color, tsf_mask = gen.apply(
-            g_params, bg_in, inputs["input_G_src"], inputs["input_G_tsf"],
-            inputs["T"])
+        fake_bg, src_color, src_mask, tsf_color, tsf_mask = _pol(
+            gen.apply, g_params, bg_in, inputs["input_G_src"],
+            inputs["input_G_tsf"], inputs["T"])
         bs = src_color.shape[0]
         src_bg = fake_bg[:bs]
         aug_bg = fake_bg[bs:2 * bs]
@@ -91,6 +97,10 @@ def make_aug_train_step(trainer: Trainer, train_d: bool = True):
         fake_masks = jnp.concatenate([src_mask, tsf_mask], axis=0)
         return aug_bg, fake_src, fake_tsf, fake_masks
 
+    # --remat like the base trainer: recompute G activations in the
+    # backward pass instead of holding them in HBM
+    g_forward = jax.checkpoint(_g_forward) if cfg.remat else _g_forward
+
     def d_apply(d_params, fake_aug_bg, tsf_imgs, inputs):
         global_x = jnp.concatenate(
             [fake_aug_bg, inputs["input_G_aug_bg"][..., -1:]], axis=-1)
@@ -98,7 +108,7 @@ def make_aug_train_step(trainer: Trainer, train_d: bool = True):
             [tsf_imgs, inputs["input_G_tsf"][..., 3:]], axis=-1)
         s = float(trainer.cfg.image_size)
         rects = inputs["body_bbox"] * s  # fractional -> pixel units
-        return disc.apply(d_params, global_x, local_x, rects)
+        return _pol(disc.apply, d_params, global_x, local_x, rects)
 
     def g_loss_fn(g_params, d_params, inputs, real_src, real_tsf, real_bg):
         fake_aug_bg, fake_src, fake_tsf, fake_masks = g_forward(
@@ -110,14 +120,16 @@ def make_aug_train_step(trainer: Trainer, train_d: bool = True):
 
         loss_tsf = 0.0
         if cfg.use_vgg:
-            vgg = lambda x: trainer.vgg.apply(trainer.vgg_params, x)  # noqa: E731
+            vgg = lambda x: _pol(trainer.vgg.apply,  # noqa: E731
+                                 trainer.vgg_params, x)
             loss_tsf = (L.vgg_loss(vgg(fake_tsf), vgg(real_tsf))
                         + L.vgg_loss(vgg(fake_aug_bg), vgg(real_bg))
                         ) * cfg.lambda_tsf
         loss_style = 0.0
         if cfg.use_style and cfg.lambda_style > 0:
-            vgg224 = lambda x: trainer.vgg.apply(  # noqa: E731
-                trainer.vgg_params, resize_bilinear_align(x, 224, 224))
+            vgg224 = lambda x: _pol(  # noqa: E731
+                trainer.vgg.apply, trainer.vgg_params,
+                resize_bilinear_align(x, 224, 224))
             loss_style = (L.style_loss(vgg224(fake_tsf), vgg224(real_tsf))
                           + L.style_loss(vgg224(fake_aug_bg), vgg224(real_bg))
                           ) * cfg.lambda_style
@@ -138,8 +150,9 @@ def make_aug_train_step(trainer: Trainer, train_d: bool = True):
         total = (loss_adv + loss_rec + loss_tsf + loss_style + loss_face
                  + loss_mask + loss_smooth)
         metrics = {"g_adv": loss_adv, "g_rec": loss_rec, "g_tsf": loss_tsf,
-                   "g_face": loss_face, "g_mask": loss_mask,
-                   "g_mask_smooth": loss_smooth, "g_total": total}
+                   "g_style": loss_style, "g_face": loss_face,
+                   "g_mask": loss_mask, "g_mask_smooth": loss_smooth,
+                   "g_total": total}
         return total, (metrics, fake_aug_bg, fake_tsf)
 
     def d_loss_fn(d_params, fake_aug_bg, fake_tsf, real_bg, real_tsf, inputs):

@@ -598,3 +598,36 @@ def test_async_checkpointer(tmp_path, rng):
     with pytest.raises(Exception):
         saver.wait()
     saver.close()
+
+
+def test_aug_trainer_bf16_and_remat_match_fp32():
+    """The aug step honors --train_dtype and --remat like the base
+    trainer: bf16 agrees within rounding, remat agrees exactly."""
+    import jax
+    from impersonator_tpu.tasks import trainer_aug as TA
+
+    rng = np.random.default_rng(5)
+    thetas = np.zeros((2, 2, 85), np.float32)
+    thetas[..., 0] = 0.9
+    thetas[..., 3:75] = rng.normal(0, 0.03, (2, 2, 72))
+    batch = {
+        "images": jnp.asarray(rng.uniform(-1, 1, (2, 2, S, S, 3)),
+                              jnp.float32),
+        "smpls": jnp.asarray(thetas),
+        "bg": jnp.asarray(rng.uniform(-1, 1, (2, S, S, 3)), jnp.float32),
+    }
+    totals = {}
+    for name, kw in [("fp32", {}), ("bf16", {"train_dtype": "bfloat16"}),
+                     ("remat", {"remat": True})]:
+        cfg = TrainConfig(image_size=S, repeat_num=1, batch_size=2,
+                          use_vgg=False, use_style=False, use_face=False,
+                          d_layers=2, **kw)
+        tr = TA.build_aug_trainer(cfg, A.synthetic_assets())
+        state = TA.init_aug_state(tr)
+        step = jax.jit(TA.make_aug_train_step(tr, train_d=True))
+        _, m = step(state, batch)
+        totals[name] = float(m["g_total"])
+        assert "g_style" in m          # style term is logged now
+    assert totals["remat"] == pytest.approx(totals["fp32"], rel=1e-5)
+    assert abs(totals["bf16"] - totals["fp32"]) \
+        / max(abs(totals["fp32"]), 1.0) < 5e-2, totals

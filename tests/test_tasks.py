@@ -338,3 +338,45 @@ def test_post_tune_improves_cycle_and_affects_inference(assets):
     assert np.isfinite(after).all()
     assert np.abs(after - before).max() > 1e-4, (
         "post-tune had no effect on subsequent inference")
+
+
+def test_merge_pair_batches_mask_layout():
+    """pseudo_masks must stay grouped [srcA, srcB, tsfA, tsfB] after the
+    two-batch merge — the mask BCE compares against
+    concat([fs_mask(A,B), ft_mask(A,B)])."""
+    import jax.numpy as jnp
+    from impersonator_tpu.tasks.post_tune import merge_pair_batches
+
+    def mk(src_v, tsf_v, other_v):
+        return {
+            "pseudo_masks": jnp.concatenate(
+                [jnp.full((2, 1, 1, 1), float(src_v)),
+                 jnp.full((2, 1, 1, 1), float(tsf_v))], 0),
+            "T": jnp.full((2, 1, 1, 2), float(other_v)),
+        }
+
+    merged = merge_pair_batches(mk(1, 2, 5), mk(3, 4, 6))
+    pm = np.asarray(merged["pseudo_masks"]).reshape(-1)
+    assert pm.tolist() == [1, 1, 3, 3, 2, 2, 4, 4]   # srcA srcB tsfA tsfB
+    t = np.asarray(merged["T"]).reshape(merged["T"].shape[0], -1)[:, 0]
+    assert t.tolist() == [5, 5, 6, 6]                # plain concat
+
+
+def test_post_tune_swapper_runs(assets):
+    """Two iterations of the bidirectional swap tune: finite losses and
+    refreshed src/tsf feature caches."""
+    from impersonator_tpu.config import TestConfig
+    from impersonator_tpu.tasks.post_tune import post_tune_swapper
+    from impersonator_tpu.tasks.swapper import Swapper
+
+    rng = np.random.default_rng(4)
+    cfg = TestConfig(image_size=32, repeat_num=1)
+    sw = Swapper(cfg, assets=assets)
+    theta = np.zeros((85,), np.float32)
+    theta[0] = 0.9
+    img_a = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    img_b = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    sw.swap_setup(img_a, img_b, src_smpl=theta, tgt_smpl=theta)
+    metrics = post_tune_swapper(sw, iters=2)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
