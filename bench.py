@@ -303,8 +303,23 @@ def main():
     print(json.dumps(result))
 
 
+def _probe_with_retries(attempts: int = 3, timeout_s: float = 240.0):
+    """Ride out a transient tunnel outage: a few spaced probes before
+    declaring the accelerator unreachable."""
+    import time as _t
+    for i in range(attempts):
+        backend = _probe_backend(timeout_s)
+        if backend is not None:
+            return backend
+        if i + 1 < attempts:
+            print(f"# probe attempt {i + 1}/{attempts} failed; "
+                  "retrying in 60s")
+            _t.sleep(60)
+    return None
+
+
 if __name__ == "__main__":
-    if _probe_backend() is None:
+    if _probe_with_retries() is None:
         # One honest JSON line instead of an infinite import-time hang:
         # the driver records bench stdout; value 0 + error beats silence.
         print(json.dumps({
