@@ -352,3 +352,77 @@ def test_run_imitator_post_tune_with_face(img_files, tmp_path):
          "--face_path", fpath] + _common(tmp_path))
     assert preds.shape[0] == 2
     assert np.isfinite(preds).all()
+
+
+def test_serve_http_roundtrip(tmp_path):
+    """The serving surface end to end over real HTTP: healthz ->
+    personalize (JPEG upload + X-Smpl header) -> imitate (smpls JSON ->
+    base64 JPEG frames) -> imitate_frames (b64 uploads), plus 400s on
+    malformed payloads."""
+    import base64
+    import http.client
+    import threading
+
+    import cv2
+
+    from impersonator_tpu.cli.serve import ImitatorService, make_server
+    from impersonator_tpu.config import TestConfig
+
+    cfg = TestConfig(image_size=S, repeat_num=1)
+    service = ImitatorService(cfg, batch=2)
+    server = make_server(service, "127.0.0.1", 0)   # ephemeral port
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_port
+        conn = lambda: http.client.HTTPConnection("127.0.0.1", port,  # noqa
+                                                  timeout=600)
+
+        c = conn()
+        c.request("GET", "/healthz")
+        health = json.loads(c.getresponse().read())
+        assert health["ok"] and health["personalized"] is False
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (S, S, 3)).astype(np.uint8)
+        ok, jpg = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        assert ok
+        theta = np.zeros(85, np.float32)
+        theta[0] = 0.9
+        c = conn()
+        c.request("POST", "/personalize", body=jpg.tobytes(),
+                  headers={"X-Smpl": ",".join(str(v) for v in theta)})
+        r = json.loads(c.getresponse().read())
+        assert r["ok"]
+
+        smpls = np.tile(theta, (3, 1))
+        smpls[:, 3:75] += rng.normal(0, 0.03, (3, 72)).astype(np.float32)
+        c = conn()
+        c.request("POST", "/imitate",
+                  body=json.dumps({"smpls": smpls.tolist()}))
+        r = json.loads(c.getresponse().read())
+        assert r["ok"] and len(r["frames"]) == 3
+        frame = cv2.imdecode(np.frombuffer(
+            base64.b64decode(r["frames"][0]), np.uint8), cv2.IMREAD_COLOR)
+        assert frame.shape == (S, S, 3)
+
+        # frame-driven path: poses recovered by HMR per uploaded frame
+        b64 = base64.b64encode(jpg.tobytes()).decode("ascii")
+        c = conn()
+        c.request("POST", "/imitate_frames",
+                  body=json.dumps({"frames": [b64, b64]}))
+        r = json.loads(c.getresponse().read())
+        assert r["ok"] and len(r["frames"]) == 2
+
+        # malformed payloads answer 400, not a dead worker
+        c = conn()
+        c.request("POST", "/imitate", body=b"{not json")
+        resp = c.getresponse()
+        assert resp.status == 400
+        c = conn()
+        c.request("POST", "/imitate",
+                  body=json.dumps({"smpls": [[1.0, 2.0]]}))
+        assert c.getresponse().status == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
