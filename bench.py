@@ -78,8 +78,18 @@ def _compiled_flops(fn, *args):
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
+
+    # --profile DIR: wrap the measured sections in a jax.profiler trace
+    # (xplane + trace-viewer dump) for kernel-level analysis
+    profile_dir = None
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        profile_dir = sys.argv[i + 1] if i + 1 < len(sys.argv) \
+            else "/tmp/bench_trace"
 
     from impersonator_tpu import assets as A
     from impersonator_tpu.config import TestConfig
@@ -105,10 +115,15 @@ def main():
     out = imit.inference_by_smpls(thetas[:batch], batch=batch)
     jax.block_until_ready(out)
 
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     out = imit.inference_by_smpls(thetas, batch=batch)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"# profiler trace -> {profile_dir}")
     fps_smpl = n_frames / dt
 
     # full per-frame path incl. HMR pose regression from target frames
