@@ -183,23 +183,30 @@ class ImpersonatorGenerator(nn.Module):
         return self.src_model.inference(src_inputs)
 
     def infer_front(self, src_inputs, tsf_inputs, t):
-        """Both streams live, LWB at every stage (generator.py:216-243)."""
-        src_x = self.src_model.encoders[0](src_inputs)
+        """Both streams live, LWB at every stage (generator.py:216-243).
+
+        The src stream never reads from tsf, so its full encoder + res
+        chain runs FIRST and all six bottleneck warps collapse into one
+        channel-concatenated gather (see :meth:`inference` — same
+        values, 6x fewer gather index sets)."""
+        src_enc = self.src_model.encode(src_inputs)
+        src_res = self.src_model.run_resnets(src_enc[-1])
+
         tsf_x = self.tsf_model.encoders[0](tsf_inputs)
-        src_enc, tsf_enc = [src_x], [tsf_x]
+        tsf_enc = [tsf_x]
         for i in range(1, self.n_down + 1):
-            src_x = self.src_model.encoders[i](src_x)
-            tsf_x = self.tsf_model.encoders[i](tsf_x) + warp(src_x, t)
-            src_enc.append(src_x)
+            tsf_x = self.tsf_model.encoders[i](tsf_x) + warp(src_enc[i], t)
             tsf_enc.append(tsf_x)
 
-        t_scale = resize_flow(t, src_x.shape[1], src_x.shape[2])
+        t_scale = resize_flow(t, src_res[-1].shape[1], src_res[-1].shape[2])
+        d = src_res[0].shape[-1]
+        warped = grid_sample(jnp.concatenate(src_res, axis=-1), t_scale)
         for i in range(self.repeat_num):
-            src_x = self.src_model.resnets[i](src_x)
-            tsf_x = self.tsf_model.resnets[i](tsf_x) + grid_sample(src_x, t_scale)
+            tsf_x = (self.tsf_model.resnets[i](tsf_x)
+                     + warped[..., i * d:(i + 1) * d])
 
         src_img, src_mask = self.src_model.regress(
-            self.src_model.decode(src_x, src_enc))
+            self.src_model.decode(src_res[-1], src_enc))
         tsf_img, tsf_mask = self.tsf_model.regress(
             self.tsf_model.decode(tsf_x, tsf_enc))
         return src_img, src_mask, tsf_img, tsf_mask
@@ -214,10 +221,18 @@ class ImpersonatorGenerator(nn.Module):
             tsf_x = self.tsf_model.encoders[i](tsf_x) + warp(src_x, t)
             tsf_enc.append(tsf_x)
 
+        # all six res-block warps share t_scale AND their sources are
+        # cached constants — ONE gather over the channel-concatenated
+        # stack replaces 6 (x4-corner) gathers: same rows, same lerp,
+        # bit-identical, but a single index-staging pass (TPU gathers
+        # pay per row fetch, not per byte)
         t_scale = resize_flow(t, src_x.shape[1], src_x.shape[2])
+        d = src_resnet_outs[0].shape[-1]
+        warped = grid_sample(jnp.concatenate(src_resnet_outs, axis=-1),
+                             t_scale)
         for i in range(self.repeat_num):
-            tsf_x = self.tsf_model.resnets[i](tsf_x) + grid_sample(
-                src_resnet_outs[i], t_scale)
+            tsf_x = (self.tsf_model.resnets[i](tsf_x)
+                     + warped[..., i * d:(i + 1) * d])
 
         return self.tsf_model.regress(self.tsf_model.decode(tsf_x, tsf_enc))
 
@@ -236,9 +251,12 @@ class ImpersonatorGenerator(nn.Module):
         h, w_ = tsf_x.shape[1], tsf_x.shape[2]
         t12s = resize_flow(t12, h, w_)
         t21s = resize_flow(t21, h, w_)
+        d = src_resnet_outs12[0].shape[-1]
+        w12s = grid_sample(jnp.concatenate(src_resnet_outs12, axis=-1), t12s)
+        w21s = grid_sample(jnp.concatenate(src_resnet_outs21, axis=-1), t21s)
         for i in range(self.repeat_num):
+            sl = slice(i * d, (i + 1) * d)
             tsf_x = (self.tsf_model.resnets[i](tsf_x)
-                     + grid_sample(src_resnet_outs12[i], t12s)
-                     + grid_sample(src_resnet_outs21[i], t21s))
+                     + w12s[..., sl] + w21s[..., sl])
 
         return self.tsf_model.regress(self.tsf_model.decode(tsf_x, tsf_enc))
