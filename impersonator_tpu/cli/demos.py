@@ -51,7 +51,7 @@ def demo_imitator(args, cfg):
     seq[:, 3:75] += np.cumsum(
         rng.normal(0, 0.02, (args.frames, 72)), axis=0).astype(np.float32)
     preds = np.asarray(imit.inference_by_smpls(seq, batch=8))
-    _save_all(preds, cfg.output_dir, "imitator")
+    _save_all(preds, cfg.output_dir, "imitator", src_img=src)
 
 
 def demo_swap(args, cfg):
@@ -77,13 +77,20 @@ def demo_view(args, cfg):
     _save_all(preds, cfg.output_dir, "view")
 
 
-def _save_all(preds, out_dir, name):
+def _save_all(preds, out_dir, name, src_img=None):
     os.makedirs(out_dir, exist_ok=True)
     for i, p in enumerate(preds):
         cv_utils.save_img(p, os.path.join(out_dir, f"{name}_{i:04d}.png"))
     try:
-        from impersonator_tpu.utils.video import frames_to_mp4
+        from impersonator_tpu.utils.video import (
+            frames_to_mp4, fuse_source_reference_output)
         frames_to_mp4(preds, os.path.join(out_dir, f"{name}.mp4"))
+        if src_img is not None and len(preds) > 1:
+            # the reference demos' showcase format: side-by-side
+            # [source | prediction] montage (utils/video.py:53-96)
+            fuse_source_reference_output(
+                src_img, None, preds,
+                os.path.join(out_dir, f"{name}_montage.mp4"))
     except RuntimeError:
         pass
     print(f"{name}: wrote {len(preds)} frames -> {out_dir}")

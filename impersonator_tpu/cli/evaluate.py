@@ -61,6 +61,12 @@ def _load_msgpack(path):
         return serialization.msgpack_restore(f.read())
 
 
+# the reference's released LPIPS v0.1 alex lin heads, converted in-tree
+REAL_LPIPS_LIN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights", "lpips_v01_alex_lin.msgpack")
+
+
 def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
                      senet_path=None, osnet_path=None, pcb_path=None,
                      facenet_path=None):
@@ -75,10 +81,33 @@ def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
     elif facenet_path:
         print(f"evaluate: facenet weights not found at {facenet_path}; "
               "falling back to senet50/sphereface")
+    if lpips_path is None and os.path.exists(REAL_LPIPS_LIN):
+        # real released v0.1 lin heads, converted in-tree from the
+        # reference's weights file (his_evaluators/metrics/lpips/
+        # weights/v0.1/alex.pth) — parity-tested in
+        # tests/test_metric_zoo.py::test_lpips_real_released_linheads
+        lpips_path = REAL_LPIPS_LIN
     if lpips_path and os.path.exists(lpips_path):
         from impersonator_tpu.metrics.zoo import LPIPS
         import jax
         tree = _load_msgpack(lpips_path)
+        if "alex" not in tree.get("params", {}):
+            # lin-heads-only tree (the only real weights shippable in
+            # this environment): splice in a FIXED-seed random alexnet
+            # backbone. Distances remain a deterministic, valid RELATIVE
+            # perceptual metric, but are NOT reference-absolute — for
+            # that, convert torchvision's pretrained alexnet via
+            # `tools/convert_weights.py lpips --src2 alexnet.pth`.
+            from impersonator_tpu.metrics.zoo import AlexFeatures
+            import jax.numpy as jnp
+            print("evaluate: LPIPS tree has real lin heads but no alex "
+                  "backbone; using a fixed-seed random backbone "
+                  "(relative metric only — supply a full tree for "
+                  "reference-absolute lps)")
+            alex = jax.jit(AlexFeatures().init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            tree = {"params": {**tree["params"],
+                               "alex": alex["params"]}}
         model = LPIPS()
         lpips_apply = jax.jit(lambda a, b: model.apply(tree, a, b))
     elif lpips_path:

@@ -75,6 +75,17 @@ def main(argv=None):
         if len(preds) > 1:
             try:
                 frames_to_mp4(preds, os.path.join(cfg.output_dir, "pred.mp4"))
+                # the reference's showcase format: [source | reference |
+                # prediction] side-by-side (utils/video.py:53-96)
+                from impersonator_tpu.utils.video import (
+                    fuse_source_reference_output)
+                refs = np.stack([
+                    cv_utils.resize_img_hwc(cv_utils.read_img(p),
+                                            cfg.image_size)
+                    for p in frames])
+                fuse_source_reference_output(
+                    src_img, refs, preds,
+                    os.path.join(cfg.output_dir, "montage.mp4"))
             except RuntimeError as e:
                 print(f"skipping video encode: {e}")
     print(f"imitated {len(preds)} frames -> {cfg.output_dir}")

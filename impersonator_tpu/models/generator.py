@@ -161,6 +161,11 @@ class ImpersonatorGenerator(nn.Module):
     n_down: int = 3
 
     def setup(self):
+        # the concat-gather LWB paths below index src_res[0]/[-1] and
+        # slice uniform d-wide channel blocks; >=1 res block (reference
+        # default 6) and the shared-width invariant are required
+        assert self.repeat_num >= 1, \
+            "ImpersonatorGenerator needs repeat_num >= 1"
         self.bg_model = ResNetGenerator(self.conv_dim, self.repeat_num,
                                         k_size=3, n_down=self.n_down, name="bg_model")
         self.src_model = ResUnetGenerator(self.conv_dim, self.repeat_num,
@@ -200,6 +205,7 @@ class ImpersonatorGenerator(nn.Module):
 
         t_scale = resize_flow(t, src_res[-1].shape[1], src_res[-1].shape[2])
         d = src_res[0].shape[-1]
+        assert all(r.shape[-1] == d for r in src_res)
         warped = grid_sample(jnp.concatenate(src_res, axis=-1), t_scale)
         for i in range(self.repeat_num):
             tsf_x = (self.tsf_model.resnets[i](tsf_x)
@@ -228,6 +234,7 @@ class ImpersonatorGenerator(nn.Module):
         # pay per row fetch, not per byte)
         t_scale = resize_flow(t, src_x.shape[1], src_x.shape[2])
         d = src_resnet_outs[0].shape[-1]
+        assert all(r.shape[-1] == d for r in src_resnet_outs)
         warped = grid_sample(jnp.concatenate(src_resnet_outs, axis=-1),
                              t_scale)
         for i in range(self.repeat_num):
@@ -252,6 +259,8 @@ class ImpersonatorGenerator(nn.Module):
         t12s = resize_flow(t12, h, w_)
         t21s = resize_flow(t21, h, w_)
         d = src_resnet_outs12[0].shape[-1]
+        assert all(r.shape[-1] == d
+                   for r in (*src_resnet_outs12, *src_resnet_outs21))
         w12s = grid_sample(jnp.concatenate(src_resnet_outs12, axis=-1), t12s)
         w21s = grid_sample(jnp.concatenate(src_resnet_outs21, axis=-1), t21s)
         for i in range(self.repeat_num):

@@ -55,6 +55,58 @@ def video_to_frames(video_path: str, out_dir: str, fps: int | None = None):
     return sorted(os.listdir(out_dir))
 
 
+def _to_u8(arr: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        arr = ((arr + 1.0) / 2.0 * 255).clip(0, 255).astype(np.uint8)
+    return arr
+
+
+def fuse_grid(streams, rows: int, cols: int) -> np.ndarray:
+    """Compose per-frame grids from ``rows*cols`` aligned frame streams.
+
+    The reference's demo-video fusion (utils/video.py:53-96,
+    ``fuse_image``/``fuse_video``) re-reads every frame from disk in a
+    40-process pool and round-trips through an .avi; here the streams
+    are in-memory arrays (device outputs land directly) and the grid is
+    one vectorized concatenate per frame.
+
+    streams: list of (N, H, W, 3) arrays (uint8 or float [-1,1]), row-
+    major grid order. Short streams repeat their last frame. Returns
+    (N, H*rows, W*cols, 3) uint8.
+    """
+    assert len(streams) == rows * cols, (len(streams), rows, cols)
+    streams = [_to_u8(s) for s in streams]
+    n = max(s.shape[0] for s in streams)
+    h, w = streams[0].shape[1:3]
+    padded = []
+    for s in streams:
+        assert s.shape[1:3] == (h, w), "streams must share a frame size"
+        if s.shape[0] < n:   # freeze-frame the shorter stream
+            s = np.concatenate(
+                [s, np.repeat(s[-1:], n - s.shape[0], axis=0)])
+        padded.append(s)
+    row_blocks = [np.concatenate(padded[r * cols:(r + 1) * cols], axis=2)
+                  for r in range(rows)]
+    return np.concatenate(row_blocks, axis=1)
+
+
+def fuse_source_reference_output(src_img, ref_frames, pred_frames,
+                                 out_path: str, fps: int = 25) -> str:
+    """The reference project's user-facing demo format: a side-by-side
+    [source | reference | prediction] mp4 (utils/video.py:53-96 feeding
+    demo_imitator.py:43-77). ``src_img`` is one (H, W, 3) image tiled
+    across time; ``ref_frames`` may be None for a 2-wide [source |
+    prediction] montage."""
+    pred = _to_u8(pred_frames)
+    n = pred.shape[0]
+    src = np.repeat(_to_u8(np.asarray(src_img))[None], n, axis=0)
+    streams = [src, pred] if ref_frames is None else \
+        [src, _to_u8(ref_frames), pred]
+    grid = fuse_grid(streams, 1, len(streams))
+    return frames_to_mp4(grid, out_path, fps)
+
+
 class AsyncVideoWriter:
     """Encode in the background while the device renders the next batch."""
 

@@ -203,6 +203,46 @@ def test_native_loader_matches_cv2(tmp_path, rng):
     loader8.close()
 
 
+def test_fuse_grid_montage(rng, tmp_path):
+    """Grid fusion layout parity with the reference demo-video composer
+    (utils/video.py:53-96): row-major tiles, shorter streams freeze
+    their last frame, float streams quantize like save paths do."""
+    from impersonator_tpu.utils import video as V
+
+    h, w, n = 8, 6, 5
+    streams = [rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8)
+               for _ in range(3)]
+    streams.append(rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32))
+    grid = V.fuse_grid(streams, rows=2, cols=2)
+    assert grid.shape == (n, 2 * h, 2 * w, 3) and grid.dtype == np.uint8
+    # row-major placement
+    np.testing.assert_array_equal(grid[:, :h, :w], streams[0])
+    np.testing.assert_array_equal(grid[:, :h, w:], streams[1])
+    np.testing.assert_array_equal(grid[:, h:, :w], streams[2])
+    # short stream froze its last frame from t=2 on
+    np.testing.assert_array_equal(grid[3, h:, w:], grid[2, h:, w:])
+    np.testing.assert_array_equal(
+        grid[1, h:, w:], V._to_u8(streams[3][1]))
+    with pytest.raises(AssertionError):
+        V.fuse_grid(streams[:3], rows=2, cols=2)
+
+
+def test_fuse_montage_mp4(rng, tmp_path):
+    """[src | ref | pred] montage encodes an mp4 (needs ffmpeg)."""
+    from impersonator_tpu.utils import video as V
+
+    h, w, n = 8, 6, 5
+    ref = rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8)
+    pred = rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32)
+    src = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    try:
+        out = V.fuse_source_reference_output(
+            src, ref, pred, str(tmp_path / "m.mp4"))
+    except RuntimeError:
+        pytest.skip("ffmpeg not available on host")
+    assert os.path.getsize(out) > 0
+
+
 def test_frechet_distance_properties(rng):
     from impersonator_tpu.metrics import frechet_distance, gaussian_stats
     a = rng.normal(0, 1, (500, 8))

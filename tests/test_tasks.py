@@ -46,6 +46,40 @@ def test_imitator_end_to_end(tiny_imitator):
     assert np.abs(np.asarray(preds)).max() <= 1.0 + 1e-5
 
 
+def test_imitator_device_input_and_async_readback(tiny_imitator, tmp_path):
+    """Round-4 throughput-path semantics: (a) inference_by_smpls accepts
+    a pre-uploaded device array (single H2D, on-device slicing) and
+    matches the numpy-input result; (b) inference_from_paths with
+    as_uint8 returns a host uint8 array via per-batch overlapped D2H
+    that matches the quantized fp32 path."""
+    import cv2
+
+    if tiny_imitator.src_info is None:
+        rng0 = np.random.default_rng(0)
+        tiny_imitator.personalize(
+            rng0.uniform(-1, 1, (S, S, 3)).astype(np.float32),
+            src_smpl=_theta())
+
+    smpls = np.stack([_theta(0.03, i) for i in range(5)])
+    p_np = np.asarray(tiny_imitator.inference_by_smpls(smpls, batch=4))
+    p_dev = np.asarray(tiny_imitator.inference_by_smpls(
+        jnp.asarray(smpls), batch=4))
+    np.testing.assert_array_equal(p_np, p_dev)
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"{i}.png")
+        cv2.imwrite(p, rng.integers(0, 255, (224, 224, 3), dtype=np.uint8))
+        paths.append(p)
+    u8 = tiny_imitator.inference_from_paths(paths, batch=2, as_uint8=True)
+    assert isinstance(u8, np.ndarray) and u8.dtype == np.uint8
+    assert u8.shape == (3, S, S, 3)
+    f32 = np.asarray(tiny_imitator.inference_from_paths(paths, batch=2))
+    np.testing.assert_array_equal(
+        u8, np.clip(np.round((f32 + 1.0) * 127.5), 0, 255).astype(np.uint8))
+
+
 def test_imitator_cam_strategies(tiny_imitator):
     smpls = np.stack([_theta(0.02, i) for i in range(2)])
     smpls[:, 1] += 0.3  # cam tx offset
