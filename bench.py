@@ -238,6 +238,8 @@ def main():
     fv = rast.project_to_raster_space(info["verts"], info["cam"],
                                       imit.smpl_params.faces)
     tile, cap, span = imit.renderer.tile_params()
+    bucket = imit.renderer._bucket_config()
+    txb = bucket[2] if bucket else 2   # production schedule (sweep-tuned)
     stats = {k: int(np.asarray(v).max())
              for k, v in imit.renderer.tile_stats(fv).items()}
     raster_parity = None
@@ -248,7 +250,7 @@ def main():
         fv2 = fv[:2]
         fa, wa = rast.rasterize_fim_wim(fv2, cfg.image_size)
         fb, wb = rast.rasterize_fim_wim_bucket(
-            fv2, cfg.image_size, tile=tile, span=span, txb=4)
+            fv2, cfg.image_size, tile=tile, span=span, txb=txb)
         raster_parity = {
             "fim_match": float((np.asarray(fa) == np.asarray(fb)).mean()),
             "wim_max_abs_diff": float(
@@ -275,7 +277,7 @@ def main():
         imit.smpl_params, t, imit.parents)["verts"])
     if jax.default_backend() == "tpu":
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_bucket(
-            f, cfg.image_size, tile=tile, span=span, txb=4))
+            f, cfg.image_size, tile=tile, span=span, txb=txb))
     else:
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
             f, cfg.image_size, tile=tile, cap=cap, span=span,

@@ -121,13 +121,19 @@ class SMPLRenderer:
         mesh is big enough to amortize the sort (nf > 256) yet small
         enough for the sorted face table to stay VMEM-resident
         (nf ≤ 60000), and the backend is TPU (Mosaic). txb adjacent
-        tiles share a program; tpb ≤ 512 keeps any tile side in VMEM."""
+        tiles share a program (amortizing grid overhead against
+        per-program candidate-range width); the round-4 v5e sweep over
+        txb x chunk (tools/bench_breakdown.py --sweep, 256², batch 16,
+        12.9k faces) measured the fused raster+flow kernel at
+        txb=1: 27.3ms, txb=2: 22.0ms, txb=4: 25.6ms, txb=8: 32.8ms —
+        2 adjacent tiles is the sweet spot between launch overhead and
+        scanning extra neighbour-bucket rows."""
         tile, _, span = self.tile_params()
         nf = self.faces.shape[0]
         if not (tile and 256 < nf <= 60000
                 and jax.default_backend() == "tpu"):
             return None
-        txb = max(1, min(4, 512 // (tile * tile)))
+        txb = max(1, min(2, 512 // (tile * tile)))
         return tile, span, txb
 
     def tile_stats(self, f2verts):

@@ -61,9 +61,11 @@ def main():
     fv = rast.project_to_raster_space(info["verts"], info["cam"],
                                       imit.smpl_params.faces)
     tile, cap, span = imit.renderer.tile_params()
+    bucket = imit.renderer._bucket_config()
+    txb = bucket[2] if bucket else 2   # production schedule (sweep-tuned)
     if jax.default_backend() == "tpu":
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_bucket(
-            f, 256, tile=tile, span=span, txb=4))
+            f, 256, tile=tile, span=span, txb=txb))
     else:
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
             f, 256, tile=tile, cap=cap, span=span, backend="xla"))
@@ -77,7 +79,7 @@ def main():
 
     def rastflow_fn(f, p2):
         return rast.rasterize_flow_bucket(
-            f, p2, 256, tile=tile, span=span, txb=4) \
+            f, p2, 256, tile=tile, span=span, txb=txb) \
             if jax.default_backend() == "tpu" else (
                 rast.rasterize_fim_wim_tiled(
                     f, 256, tile=tile, cap=cap, span=span, backend="xla")[0],
