@@ -238,8 +238,10 @@ def main():
     fv = rast.project_to_raster_space(info["verts"], info["cam"],
                                       imit.smpl_params.faces)
     tile, cap, span = imit.renderer.tile_params()
+    # production bucket schedule (sweep-tuned; may use a LARGER tile
+    # than the capped XLA path — see renderer._bucket_config)
     bucket = imit.renderer._bucket_config()
-    txb = bucket[2] if bucket else 2   # production schedule (sweep-tuned)
+    btile, bspan, txb = bucket if bucket else (tile, span, 2)
     stats = {k: int(np.asarray(v).max())
              for k, v in imit.renderer.tile_stats(fv).items()}
     raster_parity = None
@@ -250,7 +252,7 @@ def main():
         fv2 = fv[:2]
         fa, wa = rast.rasterize_fim_wim(fv2, cfg.image_size)
         fb, wb = rast.rasterize_fim_wim_bucket(
-            fv2, cfg.image_size, tile=tile, span=span, txb=txb)
+            fv2, cfg.image_size, tile=btile, span=bspan, txb=txb)
         raster_parity = {
             "fim_match": float((np.asarray(fa) == np.asarray(fb)).mean()),
             "wim_max_abs_diff": float(
@@ -277,7 +279,7 @@ def main():
         imit.smpl_params, t, imit.parents)["verts"])
     if jax.default_backend() == "tpu":
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_bucket(
-            f, cfg.image_size, tile=tile, span=span, txb=txb))
+            f, cfg.image_size, tile=btile, span=bspan, txb=txb))
     else:
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
             f, cfg.image_size, tile=tile, cap=cap, span=span,

@@ -120,20 +120,31 @@ class SMPLRenderer:
         kernel for the same geometry. Conditions: image tiles evenly,
         mesh is big enough to amortize the sort (nf > 256) yet small
         enough for the sorted face table to stay VMEM-resident
-        (nf ≤ 60000), and the backend is TPU (Mosaic). txb adjacent
-        tiles share a program (amortizing grid overhead against
-        per-program candidate-range width); the round-4 v5e sweep over
-        txb x chunk (tools/bench_breakdown.py --sweep, 256², batch 16,
-        12.9k faces) measured the fused raster+flow kernel at
-        txb=1: 27.3ms, txb=2: 22.0ms, txb=4: 25.6ms, txb=8: 32.8ms —
-        2 adjacent tiles is the sweet spot between launch overhead and
-        scanning extra neighbour-bucket rows."""
-        tile, _, span = self.tile_params()
+        (nf ≤ 60000), and the backend is TPU (Mosaic).
+
+        The schedule is sweep-tuned (tools/bench_breakdown.py --sweep,
+        v5e, 256², batch 16, 12.9k faces; fused raster+flow ms/batch):
+        tile=8:  txb=1: 26.4, txb=2: 21.7, txb=4: 22.3, txb=8: 30.7
+        tile=16: txb=1: 18.3, txb=2: 23.5 (txb>=4 fails Mosaic
+        lowering at tpb>=1024)
+        ⇒ 16-px tiles with ONE tile per program win by ~16%: quadruple
+        the pixels per candidate-row scan with no extra neighbour-row
+        width. The bucket tile is chosen INDEPENDENTLY of
+        ``tile_params`` — the fixed-slot XLA path must keep 8-px tiles
+        (its 288-candidate occupancy cap would overflow at 16), while
+        the bucket kernel has no cap. Span generalizes the tile_params
+        formula to any (tile, s): face linear size in TILES scales as
+        sqrt(13776/nf) · (s/256) · (8/tile)."""
         nf = self.faces.shape[0]
-        if not (tile and 256 < nf <= 60000
+        tile8, _, _ = self.tile_params()
+        if not (tile8 and 256 < nf <= 60000
                 and jax.default_backend() == "tpu"):
             return None
-        txb = max(1, min(2, 512 // (tile * tile)))
+        s = self.image_size
+        tile = 16 if s % 16 == 0 else tile8
+        span = max(2, int(np.ceil(2.0 * np.sqrt(13776.0 / max(nf, 1))
+                                  * (s / 256.0) * (8.0 / tile))))
+        txb = 1 if tile >= 16 else 2
         return tile, span, txb
 
     def tile_stats(self, f2verts):

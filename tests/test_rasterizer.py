@@ -330,6 +330,20 @@ def test_bucket_512_tile16(assets):
                                atol=2e-4)
 
 
+def test_bucket_256_tile16_txb1(assets):
+    """The round-4 production schedule at 256² (16-px tiles, ONE tile
+    per program — sweep-tuned, renderer._bucket_config) bit-matches the
+    brute oracle in interpret mode."""
+    fv = _smpl_face_verts(assets)
+    s = 256
+    fim_a, wim_a = rast.rasterize_fim_wim(fv, s, chunk=138)
+    fim_b, wim_b = rast.rasterize_fim_wim_bucket(fv, s, tile=16, span=2,
+                                                 txb=1, interpret=True)
+    assert (np.asarray(fim_a) == np.asarray(fim_b)).all()
+    np.testing.assert_allclose(np.asarray(wim_a), np.asarray(wim_b),
+                               atol=2e-4)
+
+
 def test_flow_bucket_matches_two_step(assets):
     """Fused raster+flow kernel vs rasterize + correspondence_flow: same
     fim, T within blend-order ULPs; batch-1 src broadcasts over a

@@ -61,11 +61,13 @@ def main():
     fv = rast.project_to_raster_space(info["verts"], info["cam"],
                                       imit.smpl_params.faces)
     tile, cap, span = imit.renderer.tile_params()
+    # production bucket schedule (sweep-tuned, independent of the capped
+    # XLA path's tile — see renderer._bucket_config)
     bucket = imit.renderer._bucket_config()
-    txb = bucket[2] if bucket else 2   # production schedule (sweep-tuned)
+    btile, bspan, txb = bucket if bucket else (tile, span, 2)
     if jax.default_backend() == "tpu":
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_bucket(
-            f, 256, tile=tile, span=span, txb=txb))
+            f, 256, tile=btile, span=bspan, txb=txb))
     else:
         rast_fn = jax.jit(lambda f: rast.rasterize_fim_wim_tiled(
             f, 256, tile=tile, cap=cap, span=span, backend="xla"))
@@ -79,7 +81,7 @@ def main():
 
     def rastflow_fn(f, p2):
         return rast.rasterize_flow_bucket(
-            f, p2, 256, tile=tile, span=span, txb=txb) \
+            f, p2, 256, tile=btile, span=bspan, txb=txb) \
             if jax.default_backend() == "tpu" else (
                 rast.rasterize_fim_wim_tiled(
                     f, 256, tile=tile, cap=cap, span=span, backend="xla")[0],
@@ -112,27 +114,35 @@ def main():
     if "--sweep" in sys.argv and jax.default_backend() == "tpu":
         print("\nbucket-kernel schedule sweep (raster / fused raster+flow,"
               " ms per batch):")
-        print(f"{'txb':>4} {'chunk':>6} {'raster':>9} {'r+flow':>9}")
-        g = 256 // tile
-        for txb in (1, 2, 4, 8):
-            if g % txb:
-                continue
-            for chunk in (64, 128, 256):
-                try:
-                    r_fn = jax.jit(lambda f, tx=txb, ck=chunk:
-                                   rast.rasterize_fim_wim_bucket(
-                                       f, 256, tile=tile, span=span,
-                                       txb=tx, chunk=ck))
-                    f_fn = jax.jit(lambda f, p, tx=txb, ck=chunk:
-                                   rast.rasterize_flow_bucket(
-                                       f, p, 256, tile=tile, span=span,
-                                       txb=tx, chunk=ck))
-                    tr_ms = timeit(r_fn, fv) * 1e3
-                    tf_ms = timeit(f_fn, fv, p2) * 1e3
-                    print(f"{txb:>4} {chunk:>6} {tr_ms:>9.2f} {tf_ms:>9.2f}")
-                except Exception as e:
-                    print(f"{txb:>4} {chunk:>6}  failed: "
-                          f"{str(e).splitlines()[0][:60]}")
+        print(f"{'tile':>5} {'span':>5} {'txb':>4} {'chunk':>6} "
+              f"{'raster':>9} {'r+flow':>9}")
+        import math
+        nf = assets.nf
+        for tl in (8, 16):
+            g = 256 // tl
+            # face linear size in tiles halves when the tile doubles
+            sp = max(2, math.ceil(2.0 * math.sqrt(13776.0 / nf) * 8 / tl))
+            for txb in (1, 2, 4, 8):
+                if g % txb or tl * tl * txb > 2048:
+                    continue
+                for chunk in (64, 128, 256):
+                    try:
+                        r_fn = jax.jit(
+                            lambda f, t=tl, s_=sp, tx=txb, ck=chunk:
+                            rast.rasterize_fim_wim_bucket(
+                                f, 256, tile=t, span=s_, txb=tx, chunk=ck))
+                        f_fn = jax.jit(
+                            lambda f, p, t=tl, s_=sp, tx=txb, ck=chunk:
+                            rast.rasterize_flow_bucket(
+                                f, p, 256, tile=t, span=s_, txb=tx,
+                                chunk=ck))
+                        tr_ms = timeit(r_fn, fv) * 1e3
+                        tf_ms = timeit(f_fn, fv, p2) * 1e3
+                        print(f"{tl:>5} {sp:>5} {txb:>4} {chunk:>6} "
+                              f"{tr_ms:>9.2f} {tf_ms:>9.2f}")
+                    except Exception as e:
+                        print(f"{tl:>5} {sp:>5} {txb:>4} {chunk:>6}  "
+                              f"failed: {str(e).splitlines()[0][:50]}")
 
 
 if __name__ == "__main__":
