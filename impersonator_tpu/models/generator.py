@@ -203,16 +203,19 @@ class ImpersonatorGenerator(nn.Module):
             tsf_x = self.tsf_model.encoders[i](tsf_x) + warp(src_enc[i], t)
             tsf_enc.append(tsf_x)
 
-        t_scale = resize_flow(t, src_res[-1].shape[1], src_res[-1].shape[2])
-        d = src_res[0].shape[-1]
-        assert all(r.shape[-1] == d for r in src_res)
-        warped = grid_sample(jnp.concatenate(src_res, axis=-1), t_scale)
-        for i in range(self.repeat_num):
-            tsf_x = (self.tsf_model.resnets[i](tsf_x)
-                     + warped[..., i * d:(i + 1) * d])
+        if src_res:  # repeat_num=0 degrades to a plain encoder-decoder
+            t_scale = resize_flow(t, src_res[-1].shape[1],
+                                  src_res[-1].shape[2])
+            d = src_res[0].shape[-1]
+            assert all(r.shape[-1] == d for r in src_res)
+            warped = grid_sample(jnp.concatenate(src_res, axis=-1), t_scale)
+            for i in range(self.repeat_num):
+                tsf_x = (self.tsf_model.resnets[i](tsf_x)
+                         + warped[..., i * d:(i + 1) * d])
 
         src_img, src_mask = self.src_model.regress(
-            self.src_model.decode(src_res[-1], src_enc))
+            self.src_model.decode(src_res[-1] if src_res else src_enc[-1],
+                                  src_enc))
         tsf_img, tsf_mask = self.tsf_model.regress(
             self.tsf_model.decode(tsf_x, tsf_enc))
         return src_img, src_mask, tsf_img, tsf_mask
@@ -232,14 +235,15 @@ class ImpersonatorGenerator(nn.Module):
         # stack replaces 6 (x4-corner) gathers: same rows, same lerp,
         # bit-identical, but a single index-staging pass (TPU gathers
         # pay per row fetch, not per byte)
-        t_scale = resize_flow(t, src_x.shape[1], src_x.shape[2])
-        d = src_resnet_outs[0].shape[-1]
-        assert all(r.shape[-1] == d for r in src_resnet_outs)
-        warped = grid_sample(jnp.concatenate(src_resnet_outs, axis=-1),
-                             t_scale)
-        for i in range(self.repeat_num):
-            tsf_x = (self.tsf_model.resnets[i](tsf_x)
-                     + warped[..., i * d:(i + 1) * d])
+        if src_resnet_outs:  # empty iff repeat_num=0
+            t_scale = resize_flow(t, src_x.shape[1], src_x.shape[2])
+            d = src_resnet_outs[0].shape[-1]
+            assert all(r.shape[-1] == d for r in src_resnet_outs)
+            warped = grid_sample(jnp.concatenate(src_resnet_outs, axis=-1),
+                                 t_scale)
+            for i in range(self.repeat_num):
+                tsf_x = (self.tsf_model.resnets[i](tsf_x)
+                         + warped[..., i * d:(i + 1) * d])
 
         return self.tsf_model.regress(self.tsf_model.decode(tsf_x, tsf_enc))
 
@@ -255,17 +259,20 @@ class ImpersonatorGenerator(nn.Module):
             tsf_x = self.tsf_model.encoders[i](tsf_x) + w12 + w21
             tsf_enc.append(tsf_x)
 
-        h, w_ = tsf_x.shape[1], tsf_x.shape[2]
-        t12s = resize_flow(t12, h, w_)
-        t21s = resize_flow(t21, h, w_)
-        d = src_resnet_outs12[0].shape[-1]
-        assert all(r.shape[-1] == d
-                   for r in (*src_resnet_outs12, *src_resnet_outs21))
-        w12s = grid_sample(jnp.concatenate(src_resnet_outs12, axis=-1), t12s)
-        w21s = grid_sample(jnp.concatenate(src_resnet_outs21, axis=-1), t21s)
-        for i in range(self.repeat_num):
-            sl = slice(i * d, (i + 1) * d)
-            tsf_x = (self.tsf_model.resnets[i](tsf_x)
-                     + w12s[..., sl] + w21s[..., sl])
+        if src_resnet_outs12:  # empty iff repeat_num=0
+            h, w_ = tsf_x.shape[1], tsf_x.shape[2]
+            t12s = resize_flow(t12, h, w_)
+            t21s = resize_flow(t21, h, w_)
+            d = src_resnet_outs12[0].shape[-1]
+            assert all(r.shape[-1] == d
+                       for r in (*src_resnet_outs12, *src_resnet_outs21))
+            w12s = grid_sample(jnp.concatenate(src_resnet_outs12, axis=-1),
+                               t12s)
+            w21s = grid_sample(jnp.concatenate(src_resnet_outs21, axis=-1),
+                               t21s)
+            for i in range(self.repeat_num):
+                sl = slice(i * d, (i + 1) * d)
+                tsf_x = (self.tsf_model.resnets[i](tsf_x)
+                         + w12s[..., sl] + w21s[..., sl])
 
         return self.tsf_model.regress(self.tsf_model.decode(tsf_x, tsf_enc))

@@ -496,6 +496,13 @@ class Imitator:
 
         quant = jax.jit(lambda x: jnp.clip(
             jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8))
+        # dedicated drain thread: copy_to_host_async hints the transfer,
+        # but a backend may still materialize on the np.asarray — doing
+        # that np.asarray OFF the dispatch thread (device_get releases
+        # the GIL) makes the overlap unconditional: batch k drains while
+        # the main thread decodes + dispatches batch k+1
+        from concurrent.futures import ThreadPoolExecutor
+        drain = ThreadPoolExecutor(1) if as_uint8 else None
         outs = []
         first_cam = None
         for chunk in batches():
@@ -507,13 +514,13 @@ class Imitator:
                 self.src_info, thetas, first_cam, cam_strategy=cam_strategy)
             if as_uint8:
                 pred = quant(pred)
-                # kick off this batch's D2H now; it runs behind the
-                # already-enqueued compute while the next batch decodes
-                # and dispatches
                 pred.copy_to_host_async()
-            outs.append(pred)
+                outs.append(drain.submit(np.asarray, pred))
+            else:
+                outs.append(pred)
         if as_uint8:
-            host = [np.asarray(o) for o in outs]
+            host = [f.result() for f in outs]
+            drain.shutdown()
             out = np.concatenate(host, axis=0) if len(host) > 1 else host[0]
             return out[:n]
         out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
