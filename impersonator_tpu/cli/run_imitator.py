@@ -38,6 +38,12 @@ def main(argv=None):
                         help="converted Sphere20a msgpack: enables the "
                              "post-tune FaceLoss term (reference "
                              "imitator.py:434-452 always includes it)")
+    parser.add_argument("--i420", action="store_true",
+                        help="video-optimized readback: predictions come "
+                             "back as device-packed raw yuv420p (1.5 B/px "
+                             "over the D2H link vs 3 for u8 RGB) and feed "
+                             "the mp4 encoder verbatim; jpgs are decoded "
+                             "host-side from the same planes")
     extra, _ = parser.parse_known_args(argv)
     cfg.save("test")
     imitator = Imitator(cfg)
@@ -60,10 +66,17 @@ def main(argv=None):
 
     frames = collect_frames(cfg.tgt_path)
     # streaming feed: host decode (native C++ prefetch when built)
-    # overlaps device compute; predictions come back quantized to uint8
-    # on device (4x smaller readback)
-    preds = np.asarray(imitator.inference_from_paths(
-        frames, cam_strategy=cfg.cam_strategy, as_uint8=True))
+    # overlaps device compute; predictions come back quantized on device
+    # (uint8 RGB = 4x smaller readback; --i420 = 8x, video-native)
+    packed = None
+    if extra.i420:
+        from impersonator_tpu.ops.colorspace import i420_to_rgb
+        packed = np.asarray(imitator.inference_from_paths(
+            frames, cam_strategy=cfg.cam_strategy, as_i420=True))
+        preds = i420_to_rgb(packed)
+    else:
+        preds = np.asarray(imitator.inference_from_paths(
+            frames, cam_strategy=cfg.cam_strategy, as_uint8=True))
 
     if cfg.save_res and cfg.output_dir:
         os.makedirs(cfg.output_dir, exist_ok=True)
@@ -74,7 +87,13 @@ def main(argv=None):
                               normalize=False)
         if len(preds) > 1:
             try:
-                frames_to_mp4(preds, os.path.join(cfg.output_dir, "pred.mp4"))
+                if packed is not None:
+                    from impersonator_tpu.utils.video import i420_to_mp4
+                    i420_to_mp4(packed,
+                                os.path.join(cfg.output_dir, "pred.mp4"))
+                else:
+                    frames_to_mp4(preds,
+                                  os.path.join(cfg.output_dir, "pred.mp4"))
                 # the reference's showcase format: [source | reference |
                 # prediction] side-by-side (utils/video.py:53-96)
                 from impersonator_tpu.utils.video import (

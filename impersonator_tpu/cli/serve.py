@@ -18,6 +18,12 @@ Endpoints (JSON unless noted):
                               readback). Requires a prior /personalize.
   POST /imitate_frames     -> {"frames": [b64 jpeg, ...]} — per-frame HMR
                               pose recovery, then imitation.
+  POST /imitate_video      -> {"smpls": [[85 floats], ...], "fps": 25} ->
+                              raw video/mp4 bytes. Predictions leave the
+                              device as packed yuv420p (half the D2H
+                              bytes of u8 RGB) and feed the H.264
+                              encoder verbatim (ops/colorspace.py).
+                              Requires ffmpeg on the host.
 
 Every request is serialized through one lock: the model is one set of
 device buffers, and requests batch internally through the compiled
@@ -75,6 +81,10 @@ class ImitatorService:
         # device-side u8 quantization before readback (4x smaller D2H)
         self._quant = jax.jit(lambda x: jnp.clip(
             jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8))
+        from impersonator_tpu.ops.colorspace import rgb_to_i420
+        # device-side yuv420p packing for the mp4 endpoint (8x smaller
+        # D2H than fp32; raw encoder input, zero host pixel work)
+        self._i420 = jax.jit(rgb_to_i420)
 
     def personalize(self, img_bytes: bytes, smpl=None) -> dict:
         img = _decode_image(img_bytes, self.cfg.image_size)
@@ -94,6 +104,24 @@ class ImitatorService:
         return {"ok": True, "frames": _encode_jpegs(preds_u8),
                 "seconds": round(dt, 3),
                 "fps": round(len(smpls) / max(dt, 1e-9), 1)}
+
+    def imitate_video(self, smpls: np.ndarray, fps: int = 25) -> bytes:
+        """Imitate and encode straight to mp4: device-packed yuv420p
+        frames pipe into ffmpeg with no intermediate RGB pass."""
+        assert self.imitator.src_info is not None, "personalize first"
+        import os
+        import tempfile
+
+        from impersonator_tpu.utils.video import i420_to_mp4
+        with self.lock:
+            preds = self.imitator.inference_by_smpls(
+                smpls, cam_strategy=self.cfg.cam_strategy, batch=self.batch)
+            packed = np.asarray(self._i420(preds))
+        with tempfile.TemporaryDirectory() as td:
+            path = i420_to_mp4(packed, os.path.join(td, "pred.mp4"),
+                               fps=fps)
+            with open(path, "rb") as f:
+                return f.read()
 
     def imitate_frames(self, frames_b64: list) -> dict:
         assert self.imitator.src_info is not None, "personalize first"
@@ -135,6 +163,13 @@ def make_server(service: ImitatorService, host: str = "127.0.0.1",
         def log_message(self, fmt, *args):  # quiet access log
             pass
 
+        def _reply_bytes(self, payload: bytes, ctype: str):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {
@@ -164,6 +199,17 @@ def make_server(service: ImitatorService, host: str = "127.0.0.1",
                 elif self.path == "/imitate_frames":
                     req = json.loads(data)
                     self._reply(200, service.imitate_frames(req["frames"]))
+                elif self.path == "/imitate_video":
+                    import shutil
+                    if shutil.which("ffmpeg") is None:
+                        raise ValueError("ffmpeg not available on host")
+                    req = json.loads(data)
+                    smpls = np.asarray(req["smpls"], np.float32)
+                    if smpls.ndim != 2 or smpls.shape[1] != 85:
+                        raise ValueError("smpls must be (N, 85)")
+                    mp4 = service.imitate_video(
+                        smpls, fps=int(req.get("fps", 25)))
+                    self._reply_bytes(mp4, "video/mp4")
                 else:
                     self._reply(404, {"ok": False, "error": "not found"})
             except Exception as e:  # one bad request must not kill serving

@@ -28,3 +28,7 @@ from impersonator_tpu.ops.sampler import (  # noqa: F401
     resize_flow,
 )
 from impersonator_tpu.ops.morphology import morph  # noqa: F401
+from impersonator_tpu.ops.colorspace import (  # noqa: F401
+    rgb_to_i420,
+    i420_to_rgb,
+)

@@ -424,7 +424,8 @@ class Imitator:
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
     def inference_from_paths(self, paths, cam_strategy: str = "smooth",
-                             batch: int = 8, as_uint8: bool = False):
+                             batch: int = 8, as_uint8: bool = False,
+                             as_i420: bool = False):
         """Stream frames from disk: host decode (the C++ prefetch loader
         from csrc/dataloader.cpp when built — GIL-free libjpeg threads —
         else a cv2 thread pool) overlapped with device compute. This is
@@ -440,7 +441,14 @@ class Imitator:
         batch k transfers while batch k+1 computes, instead of one big
         blocking D2H after all compute finishes (VERDICT r3 weak #3 —
         the serial readback was 5x off the no-readback leg). Returns a
-        host numpy array in this mode."""
+        host numpy array in this mode.
+
+        ``as_i420``: pack predictions to planar YUV 4:2:0 ON DEVICE —
+        1.5 bytes/pixel over the link instead of u8 RGB's 3 — returning
+        (N, H*3//2, W) uint8 raw yuv420p frames that feed the H.264
+        encoder verbatim (utils.video.i420_to_mp4). Zero quality loss
+        vs the RGB path for video jobs: the encoder converts to 4:2:0
+        anyway (ops/colorspace.py)."""
         assert self.src_info is not None, "call personalize() first"
         n = len(paths)
         pad = (-n) % batch
@@ -494,15 +502,21 @@ class Imitator:
                             yield np.stack(buf)
                             buf = []
 
-        quant = jax.jit(lambda x: jnp.clip(
-            jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8))
+        if as_i420:
+            from impersonator_tpu.ops.colorspace import rgb_to_i420
+            pack = jax.jit(rgb_to_i420)
+        elif as_uint8:
+            pack = jax.jit(lambda x: jnp.clip(
+                jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8))
+        else:
+            pack = None
         # dedicated drain thread: copy_to_host_async hints the transfer,
         # but a backend may still materialize on the np.asarray — doing
         # that np.asarray OFF the dispatch thread (device_get releases
         # the GIL) makes the overlap unconditional: batch k drains while
         # the main thread decodes + dispatches batch k+1
         from concurrent.futures import ThreadPoolExecutor
-        drain = ThreadPoolExecutor(1) if as_uint8 else None
+        drain = ThreadPoolExecutor(1) if pack is not None else None
         outs = []
         first_cam = None
         for chunk in batches():
@@ -512,13 +526,13 @@ class Imitator:
                 self.first_cam = first_cam
             pred = self._imitate_swap_jit(
                 self.src_info, thetas, first_cam, cam_strategy=cam_strategy)
-            if as_uint8:
-                pred = quant(pred)
+            if pack is not None:
+                pred = pack(pred)
                 pred.copy_to_host_async()
                 outs.append(drain.submit(np.asarray, pred))
             else:
                 outs.append(pred)
-        if as_uint8:
+        if pack is not None:
             host = [f.result() for f in outs]
             drain.shutdown()
             out = np.concatenate(host, axis=0) if len(host) > 1 else host[0]

@@ -43,6 +43,28 @@ def frames_to_mp4(frames, out_path: str, fps: int = 25) -> str:
     return out_path
 
 
+def i420_to_mp4(packed, out_path: str, fps: int = 25) -> str:
+    """Encode device-packed raw yuv420p frames (ops.colorspace.rgb_to_i420)
+    with ZERO host-side pixel work: ``packed`` is (N, H*3//2, W) uint8 in
+    I420 memory order, exactly what ffmpeg's rawvideo demuxer consumes —
+    no RGB->YUV swscale pass, and the device->host readback that produced
+    it was already 2x smaller than u8 RGB."""
+    packed = np.asarray(packed)
+    assert packed.dtype == np.uint8 and packed.ndim == 3, packed.shape
+    n, h32, w = packed.shape
+    h = h32 * 2 // 3
+    cmd = [_ffmpeg(), "-y", "-f", "rawvideo", "-pix_fmt", "yuv420p",
+           "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+           "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    proc.stdin.write(packed.tobytes())
+    proc.stdin.close()
+    proc.wait()
+    return out_path
+
+
 def video_to_frames(video_path: str, out_dir: str, fps: int | None = None):
     """Extract frames (tools/unzip_iPER.py's ffmpeg path)."""
     os.makedirs(out_dir, exist_ok=True)

@@ -414,6 +414,21 @@ def test_serve_http_roundtrip(tmp_path):
         r = json.loads(c.getresponse().read())
         assert r["ok"] and len(r["frames"]) == 2
 
+        # video endpoint: mp4 bytes straight from device-packed yuv420p
+        # (400 with a clear error when the host lacks ffmpeg)
+        import shutil
+        c = conn()
+        c.request("POST", "/imitate_video",
+                  body=json.dumps({"smpls": smpls.tolist(), "fps": 5}))
+        resp = c.getresponse()
+        if shutil.which("ffmpeg") is None:
+            assert resp.status == 400
+            assert "ffmpeg" in json.loads(resp.read())["error"]
+        else:
+            assert resp.status == 200
+            assert resp.getheader("Content-Type") == "video/mp4"
+            assert len(resp.read()) > 0
+
         # malformed payloads answer 400, not a dead worker
         c = conn()
         c.request("POST", "/imitate", body=b"{not json")

@@ -79,6 +79,16 @@ def test_imitator_device_input_and_async_readback(tiny_imitator, tmp_path):
     np.testing.assert_array_equal(
         u8, np.clip(np.round((f32 + 1.0) * 127.5), 0, 255).astype(np.uint8))
 
+    # video-native readback: device-packed yuv420p, half the bytes of u8
+    # RGB; Y plane must agree with the fp32 predictions' luma
+    i420 = tiny_imitator.inference_from_paths(paths, batch=2, as_i420=True)
+    assert isinstance(i420, np.ndarray) and i420.dtype == np.uint8
+    assert i420.shape == (3, S * 3 // 2, S)
+    rgb01 = np.clip((f32 + 1.0) * 0.5, 0, 1)
+    want_y = (16.0 + rgb01 @ np.array([65.481, 128.553, 24.966]))
+    got_y = i420[:, :S, :].astype(np.float64)
+    assert np.abs(got_y - want_y).max() <= 1.0
+
 
 def test_imitator_cam_strategies(tiny_imitator):
     smpls = np.stack([_theta(0.02, i) for i in range(2)])
