@@ -38,6 +38,10 @@ def main(argv=None):
                         help="converted Sphere20a msgpack: enables the "
                              "post-tune FaceLoss term (reference "
                              "imitator.py:434-452 always includes it)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the frame axis over all local devices "
+                             "(jax.sharding data mesh; params replicate — "
+                             "the TPU-native DataParallel, SURVEY §2.3)")
     parser.add_argument("--i420", action="store_true",
                         help="video-optimized readback: predictions come "
                              "back as device-packed raw yuv420p (1.5 B/px "
@@ -46,7 +50,14 @@ def main(argv=None):
                              "host-side from the same planes")
     extra, _ = parser.parse_known_args(argv)
     cfg.save("test")
-    imitator = Imitator(cfg)
+    mesh = None
+    if extra.data_parallel:
+        import jax
+
+        from impersonator_tpu.parallel.mesh import make_mesh
+        if jax.device_count() > 1:
+            mesh = make_mesh()
+    imitator = Imitator(cfg, mesh=mesh)
 
     src_img = cv_utils.resize_img_hwc(
         cv_utils.read_img(cfg.src_path), cfg.image_size)

@@ -68,13 +68,21 @@ def _encode_jpegs(preds_u8: np.ndarray) -> list:
 class ImitatorService:
     """The model behind the HTTP layer; also usable in-process."""
 
-    def __init__(self, cfg: TestConfig, batch: int = 8):
+    def __init__(self, cfg: TestConfig, batch: int = 8,
+                 data_parallel: bool = False):
         import jax
         from impersonator_tpu.tasks.imitator import Imitator
 
         self.cfg = cfg
         self.batch = batch
-        self.imitator = Imitator(cfg)
+        mesh = None
+        if data_parallel and jax.device_count() > 1:
+            # shard every request's frame batch over all local chips
+            # (params replicate; SURVEY §2.3 — the frame axis is the
+            # data-parallel axis)
+            from impersonator_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        self.imitator = Imitator(cfg, mesh=mesh)
         self.lock = threading.Lock()
         self.backend = jax.default_backend()
         import jax.numpy as jnp
@@ -225,9 +233,13 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard request batches over all local devices "
+                         "(jax.sharding data mesh; params replicate)")
     extra, _ = ap.parse_known_args(argv)
 
-    service = ImitatorService(cfg, batch=extra.batch)
+    service = ImitatorService(cfg, batch=extra.batch,
+                              data_parallel=extra.data_parallel)
     server = make_server(service, extra.host, extra.port)
     print(f"serving motion imitation on {extra.host}:{server.server_port} "
           f"(backend={service.backend}, image_size={cfg.image_size})",

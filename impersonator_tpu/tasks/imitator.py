@@ -290,10 +290,21 @@ def imitate_from_flow(nets: "ImitatorNets", renderer: SMPLRenderer,
 # --------------------------------------------------------------------------
 
 class Imitator:
-    """Reference-parity driver (models/imitator.py)."""
+    """Reference-parity driver (models/imitator.py).
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis.
+    When given, network params / SMPL constants / source state are
+    REPLICATED over the mesh and every frame batch is SHARDED along the
+    leading axis — the TPU-native equivalent of the reference's
+    single-host DataParallel (impersonator_trainer.py:192-273; SURVEY
+    §2.3: the frame axis IS the data-parallel axis), and the same
+    program scales to multi-host after ``jax.distributed.initialize()``.
+    GSPMD partitions the jitted cores from the operand shardings; no
+    separate multi-chip code path exists.
+    """
 
     def __init__(self, cfg: TestConfig, assets: SMPLAssets | None = None,
-                 nets: ImitatorNets | None = None):
+                 nets: ImitatorNets | None = None, mesh=None):
         self.cfg = cfg
         self.assets = assets if assets is not None else cfg.assets()
         self.renderer = SMPLRenderer.create(
@@ -304,6 +315,18 @@ class Imitator:
         self.nets = nets if nets is not None else build_nets(cfg, self.assets)
         self.src_info = None
         self.first_cam = None
+
+        self.mesh = mesh
+        if mesh is not None:
+            from impersonator_tpu.parallel.mesh import (data_sharding,
+                                                        replicate_tree)
+            assert "data" in mesh.axis_names, mesh.axis_names
+            # params + SMPL constants replicate; batches shard over the
+            # frame axis. The jitted cores need no edits: GSPMD reads
+            # the operand shardings.
+            self.nets = replicate_tree(self.nets, mesh)
+            self.smpl_params = replicate_tree(self.smpl_params, mesh)
+            self._data_sharding = data_sharding(mesh)
 
         compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else None)
@@ -352,6 +375,28 @@ class Imitator:
             p, u8.astype(jnp.float32) / 127.5 - 1.0))
         self._hmr_u8_jit = lambda u8: _hmr_u8(self.nets.hmr_params, u8)
 
+    @property
+    def _n_shards(self) -> int:
+        return 1 if self.mesh is None else self.mesh.size
+
+    def _round_batch(self, batch: int) -> int:
+        """Batches must split evenly over the data axis."""
+        n = self._n_shards
+        return ((batch + n - 1) // n) * n
+
+    def _put_batch(self, x):
+        """Upload one frame batch: sharded over the mesh when present."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, self._data_sharding)
+
+    def _put_repl(self, x):
+        """Upload a broadcast operand (source image/theta): replicated."""
+        if x is None or self.mesh is None:
+            return jnp.asarray(x) if x is not None else None
+        from impersonator_tpu.parallel.mesh import replicate
+        return jax.device_put(x, replicate(self.mesh))
+
     # --- HMR -----------------------------------------------------------
 
     def regress_smpl(self, img224: np.ndarray) -> jax.Array:
@@ -363,17 +408,18 @@ class Imitator:
     def personalize(self, src_img: np.ndarray, src_smpl=None):
         """src_img: (S, S, 3) float in [-1, 1] (resizing is host-side IO,
         utils.cv_utils)."""
-        img = jnp.asarray(src_img, jnp.float32)[None]
+        img = self._put_repl(np.asarray(src_img, np.float32)[None])
         if src_smpl is None:
             from impersonator_tpu.utils.cv_utils import resize_img_hwc
             img224 = resize_img_hwc(np.asarray(src_img), 224)
             theta = self.regress_smpl(img224[None])
         else:
-            theta = jnp.asarray(src_smpl, jnp.float32).reshape(1, 85)
+            theta = self._put_repl(
+                np.asarray(src_smpl, np.float32).reshape(1, 85))
         body_mask = None
         if self.detector is not None:
             _, body_mask = self.detector.inference(np.asarray(src_img))
-            body_mask = jnp.asarray(body_mask, jnp.float32)
+            body_mask = self._put_repl(np.asarray(body_mask, np.float32))
         # kept for post-tune's src_info refresh, which re-runs
         # personalize under the tuned generator and must reuse the SAME
         # detector mask (not fall back to the cond-morph silhouette)
@@ -395,6 +441,7 @@ class Imitator:
         path look 2x slower than the HMR-included ``inference`` in the
         round-3 bench (VERDICT r3 weak #2)."""
         assert self.src_info is not None, "call personalize() first"
+        batch = self._round_batch(batch)
         if isinstance(tgt_smpls, jax.Array):
             smpls = tgt_smpls.astype(jnp.float32)
         else:
@@ -411,10 +458,10 @@ class Imitator:
         # and the step dispatches then enqueue with zero host work
         # between them — on the tunnel an eager op interleaved into the
         # dispatch loop costs ~5-7 ms of serialization per batch
-        if isinstance(smpls, jax.Array):
+        if isinstance(smpls, jax.Array) and self.mesh is None:
             chunks = [smpls[i:i + batch] for i in range(0, n + pad, batch)]
         else:
-            chunks = [jnp.asarray(smpls[i:i + batch])
+            chunks = [self._put_batch(smpls[i:i + batch])
                       for i in range(0, n + pad, batch)]
         first_cam = chunks[0][0:1, 0:3]
         self.first_cam = first_cam
@@ -450,6 +497,7 @@ class Imitator:
         vs the RGB path for video jobs: the encoder converts to 4:2:0
         anyway (ops/colorspace.py)."""
         assert self.src_info is not None, "call personalize() first"
+        batch = self._round_batch(batch)
         n = len(paths)
         pad = (-n) % batch
         all_paths = list(paths) + [paths[-1]] * pad
@@ -520,7 +568,7 @@ class Imitator:
         outs = []
         first_cam = None
         for chunk in batches():
-            thetas = self._hmr_u8_jit(jnp.asarray(chunk))
+            thetas = self._hmr_u8_jit(self._put_batch(chunk))
             if first_cam is None:
                 first_cam = thetas[0:1, 0:3]
                 self.first_cam = first_cam
@@ -546,6 +594,7 @@ class Imitator:
         device dispatches per batch with no host round trips (numpy
         inputs are padded host-side; device arrays slice on device)."""
         assert self.src_info is not None, "call personalize() first"
+        batch = self._round_batch(batch)
         on_device = isinstance(tgt_imgs224, jax.Array)
         arr = tgt_imgs224 if on_device else np.asarray(tgt_imgs224, np.float32)
         n = arr.shape[0]
@@ -556,8 +605,8 @@ class Imitator:
             arr = cat([arr, rep(arr[-1:], pad, axis=0)])
         # stage inputs, then dispatch with no host work in the loop
         # (see inference_by_smpls)
-        chunks = [arr[i:i + batch] if on_device
-                  else jnp.asarray(arr[i:i + batch])
+        chunks = [arr[i:i + batch] if on_device and self.mesh is None
+                  else self._put_batch(arr[i:i + batch])
                   for i in range(0, n + pad, batch)]
         outs = []
         first_cam = None

@@ -39,6 +39,19 @@ def test_run_imitator_cli(img_files, tmp_path):
     assert any(o.startswith("pred_") for o in outs)
 
 
+def test_run_imitator_cli_data_parallel_i420(img_files, tmp_path):
+    """--data_parallel shards the frame axis over the 8-device CPU mesh;
+    --i420 returns device-packed yuv420p. Both through the real CLI."""
+    from impersonator_tpu.cli import run_imitator
+    src, tgt = img_files
+    preds = run_imitator.main(
+        ["--src_path", src, "--tgt_path", tgt, "--data_parallel",
+         "--i420"] + _common(tmp_path))
+    assert preds.shape[0] == 2
+    assert preds.dtype == np.uint8
+    assert np.isfinite(preds.astype(np.float32)).all()
+
+
 def test_run_view_cli(img_files, tmp_path):
     from impersonator_tpu.cli import run_view
     src, _ = img_files

@@ -90,6 +90,36 @@ def test_imitator_device_input_and_async_readback(tiny_imitator, tmp_path):
     assert np.abs(got_y - want_y).max() <= 1.0
 
 
+def test_imitator_mesh_data_parallel():
+    """The product multi-chip mode (SURVEY §2.3): Imitator(mesh=...)
+    replicates params, shards the frame axis over the 8-device mesh, and
+    must match the single-device run bit-for-nearly-bit. Also checks
+    batch rounding to a multiple of the mesh size."""
+    cfg = TestConfig(image_size=S, repeat_num=2)
+    a = A.synthetic_assets()
+    solo = I.Imitator(cfg, assets=a)
+    dp = I.Imitator(cfg, assets=a, mesh=make_mesh())
+
+    rng = np.random.default_rng(0)
+    src_img = rng.uniform(-1, 1, (S, S, 3)).astype(np.float32)
+    solo.personalize(src_img, src_smpl=_theta())
+    dp.personalize(src_img, src_smpl=_theta())
+
+    smpls = np.stack([_theta(0.03, i) for i in range(8)])
+    chunk = dp._put_batch(smpls)
+    assert len(chunk.sharding.device_set) == jax.device_count()
+
+    p0 = np.asarray(solo.inference_by_smpls(smpls, batch=8))
+    p1 = np.asarray(dp.inference_by_smpls(smpls, batch=8))
+    assert p1.shape == p0.shape == (8, S, S, 3)
+    np.testing.assert_allclose(p1, p0, atol=2e-4)
+
+    # ragged frame count + batch not divisible by the mesh: rounds up
+    p2 = np.asarray(dp.inference_by_smpls(smpls[:5], batch=3))
+    assert p2.shape == (5, S, S, 3)
+    np.testing.assert_allclose(p2, p0[:5], atol=2e-4)
+
+
 def test_imitator_cam_strategies(tiny_imitator):
     smpls = np.stack([_theta(0.02, i) for i in range(2)])
     smpls[:, 1] += 0.3  # cam tx offset
