@@ -162,6 +162,15 @@ def _head_bboxes(imitator, thetas):
     return np.asarray(head_bbox_from_kps(info["j2d"]))
 
 
+def _mtcnn_boxes(det, imgs):
+    """[-1,1] float frames -> fractional head bboxes via the real-weight
+    MTCNN cascade (the reference evaluator's face localizer,
+    his_evaluators metrics.py:887-1024 + facenet_pytorch). Used when
+    --mtcnn_path is given; the default stays SMPL head geometry."""
+    u8 = ((np.asarray(imgs) + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+    return det.head_bboxes(u8)
+
+
 def _hmr_fn(imitator):
     """imgs (B,S,S,3) in [-1,1] -> (B,85) thetas for SSPE (the reference
     preprocess resizes to 224² with align_corners=False, metrics.py
@@ -210,7 +219,8 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
                       save_preds: bool = False,
                       prior_poses_path: str | None = None,
                       sspe: bool = False,
-                      protocol_name: str = "iPER") -> dict:
+                      protocol_name: str = "iPER",
+                      mtcnn=None, yolo=None) -> dict:
     protocol = build_protocol(protocol_name, cfg.data_dir, protocol_file,
                               images_folder=cfg.images_folder,
                               smpls_folder=cfg.smpls_folder)
@@ -277,11 +287,21 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
         # SMPL-head bboxes for crop-based face-CS: cam 'copy' transfers
         # the ref cam+pose, so the ref-frame head box holds for the
         # prediction too
-        si_boxes = (_head_bboxes(imitator, si_smpls)
-                    if si_smpls is not None and face_fn else None)
+        si_boxes = None
+        if face_fn:
+            if mtcnn is not None:
+                si_boxes = _mtcnn_boxes(mtcnn, refs)
+            elif si_smpls is not None:
+                si_boxes = _head_bboxes(imitator, si_smpls)
+        # person crops for the reid metrics (reference YOLOv3 convention,
+        # metrics.py:784-832) — detected per batch like the reference
+        si_pred_body = yolo.body_bboxes(preds) if yolo else None
+        si_ref_body = yolo.body_bboxes(refs) if yolo else None
         vid_runner = make_paired()
         vid_runner.update(preds, refs, pred_bboxes=si_boxes,
-                          ref_bboxes=si_boxes)
+                          ref_bboxes=si_boxes,
+                          pred_body_bboxes=si_pred_body,
+                          ref_body_bboxes=si_ref_body)
         # fold the per-video sums into the aggregate instead of
         # recomputing every metric (VERDICT r2 weak #6)
         paired.merge(vid_runner)
@@ -304,7 +324,10 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
             # TRANSFERRED smpl (src cam/shape + drive pose, cam 'smooth'),
             # flags follow their own video smpls
             pred_boxes = ref_boxes = None
-            if face_fn and ci_smpls is not None:
+            if face_fn and mtcnn is not None:
+                pred_boxes = _mtcnn_boxes(mtcnn, ci_preds[:m])
+                ref_boxes = _mtcnn_boxes(mtcnn, flags[:m])
+            elif face_fn and ci_smpls is not None:
                 import jax.numpy as jnp
                 from impersonator_tpu.tasks.imitator import swap_smpl
                 tsf = swap_smpl(imitator.src_info["cam"],
@@ -314,10 +337,16 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
                 pred_boxes = _head_bboxes(imitator, tsf)
             flag_smpls = (unit.flag_smpls if unit.flag_smpls is not None
                           else unit.si_smpls)
-            if face_fn and flag_smpls is not None and len(flag_smpls) >= m:
+            if (face_fn and mtcnn is None and flag_smpls is not None
+                    and len(flag_smpls) >= m):
                 ref_boxes = _head_bboxes(imitator, flag_smpls[:m])
-            unpaired.update(ci_preds[:m], flags[:m],
-                            pred_bboxes=pred_boxes, ref_bboxes=ref_boxes)
+            unpaired.update(
+                ci_preds[:m], flags[:m],
+                pred_bboxes=pred_boxes, ref_bboxes=ref_boxes,
+                pred_body_bboxes=(yolo.body_bboxes(ci_preds[:m])
+                                  if yolo else None),
+                ref_body_bboxes=(yolo.body_bboxes(flags[:m])
+                                 if yolo else None))
 
     si_results = paired.evaluate()
     ci_results = unpaired.evaluate()
@@ -363,6 +392,23 @@ def main(argv=None):
     parser.add_argument("--facenet_path", default=None,
                         help="converted InceptionResnetV1 (vggface2) "
                              "msgpack - the reference's face-CS/FD net")
+    parser.add_argument("--mtcnn_path", default=None,
+                        help="converted MTCNN msgpack (tools/"
+                             "convert_weights.py mtcnn over the "
+                             "reference's released pnet/rnet/onet .pt); "
+                             "when set, face-CS/FD crops come from the "
+                             "reference's exact face detector instead of "
+                             "SMPL head geometry")
+    parser.add_argument("--yolo_cfg", default=None,
+                        help="darknet cfg (the reference ships "
+                             "yolov3/config/yolov3-spp.cfg); with "
+                             "--yolo_weights, reid metrics embed "
+                             "YOLO-detected person crops instead of "
+                             "full frames")
+    parser.add_argument("--yolo_weights", default=None,
+                        help="darknet .weights binary (yolov3-spp."
+                             "weights) — loaded directly, no torch "
+                             "round-trip")
     parser.add_argument("--prior_poses", default=None)
     parser.add_argument("--sspe", action="store_true",
                         help="add the SSPE paired metric (HMR on preds vs "
@@ -376,12 +422,29 @@ def main(argv=None):
         extra.lpips_path, extra.inception_path, extra.sphere_path,
         extra.senet_path, extra.osnet_path, extra.pcb_path,
         extra.facenet_path)
+    mtcnn = None
+    if extra.mtcnn_path and os.path.exists(extra.mtcnn_path):
+        from impersonator_tpu.metrics.mtcnn import load_mtcnn
+        mtcnn = load_mtcnn(extra.mtcnn_path)
+    elif extra.mtcnn_path:
+        print(f"evaluate: mtcnn weights not found at {extra.mtcnn_path}; "
+              "face crops fall back to SMPL head geometry")
+    yolo = None
+    if extra.yolo_cfg and extra.yolo_weights:
+        if os.path.exists(extra.yolo_cfg) and os.path.exists(
+                extra.yolo_weights):
+            from impersonator_tpu.metrics.yolo import YoloHumanDetector
+            yolo = YoloHumanDetector(extra.yolo_cfg, extra.yolo_weights)
+        else:
+            print("evaluate: yolo cfg/weights not found; reid metrics "
+                  "embed full frames")
     results = evaluate_protocol(
         cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
         extra.num_sources, extra.cross_imitation,
         lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn,
         extra.save_preds, prior_poses_path=extra.prior_poses,
-        sspe=extra.sspe, protocol_name=extra.protocol)
+        sspe=extra.sspe, protocol_name=extra.protocol, mtcnn=mtcnn,
+        yolo=yolo)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     save_results(os.path.join(cfg.output_dir, "results.txt"), results)

@@ -157,10 +157,24 @@ class PairedMetricRunner:
             return self.face_fn(imgs, bboxes)
         return self.face_fn(imgs)
 
-    def update(self, preds, refs, pred_bboxes=None, ref_bboxes=None):
+    def update(self, preds, refs, pred_bboxes=None, ref_bboxes=None,
+               pred_body_bboxes=None, ref_body_bboxes=None):
+        """``pred_body_bboxes``/``ref_body_bboxes``: (N, 4) fractional
+        person boxes — when given, OS-CS-reid embeds person CROPS at the
+        reid net's native 256x128 patch, matching the reference's
+        YOLOv3-cropped convention (metrics.py:784-832); boxes come from
+        SMPL geometry or metrics.yolo.YoloHumanDetector.body_bboxes."""
         preds = jnp.asarray(preds)
         refs = jnp.asarray(refs)
         n = preds.shape[0]
+
+        def reid_embed(imgs, boxes):
+            if boxes is not None:
+                from impersonator_tpu.models.losses import (
+                    crop_resize_fractional)
+                imgs = crop_resize_fractional(imgs, jnp.asarray(boxes),
+                                              256, 128)
+            return self.reid_fn(imgs)
         for m in self.metric_types:
             if m == "ssim":
                 v = float(ssim(preds, refs))
@@ -178,7 +192,8 @@ class PairedMetricRunner:
                 v = _paired_cosine(self._face_embed(preds, pred_bboxes),
                                    self._face_embed(refs, ref_bboxes))
             elif m == "OS-CS-reid":
-                v = _paired_cosine(self.reid_fn(preds), self.reid_fn(refs))
+                v = _paired_cosine(reid_embed(preds, pred_body_bboxes),
+                                   reid_embed(refs, ref_body_bboxes))
             else:
                 raise ValueError(m)
             self._sums[m] += v * n

@@ -118,11 +118,18 @@ class UnpairedMetricRunner:
                      for k in ("inc", "reid", "pcb", "face", "embed")}
         self._probs = []
 
-    def update(self, preds, refs=None, pred_bboxes=None, ref_bboxes=None):
+    def update(self, preds, refs=None, pred_bboxes=None, ref_bboxes=None,
+               pred_body_bboxes=None, ref_body_bboxes=None):
         """``pred_bboxes``/``ref_bboxes``: (N, 4) fractional head boxes —
         when given, the face extractor embeds head CROPS rather than full
         frames, matching the reference's MTCNN-cropped 160² convention
-        (metrics.py:887-1024; boxes here derive from SMPL head kps)."""
+        (metrics.py:887-1024; boxes here derive from SMPL head kps).
+
+        ``pred_body_bboxes``/``ref_body_bboxes``: (N, 4) fractional
+        PERSON boxes — when given, the reid extractors embed person
+        crops at their native patch sizes (OSNet 256x128, PCB 384x192),
+        matching the reference's YOLOv3-cropped reid convention
+        (metrics.py:784-832)."""
         preds = jnp.asarray(preds)
         refs = jnp.asarray(refs) if refs is not None else None
 
@@ -130,6 +137,18 @@ class UnpairedMetricRunner:
             self._acc[key]["pred"].append(np.asarray(fn(preds)))
             if refs is not None:
                 self._acc[key]["ref"].append(np.asarray(fn(refs)))
+
+        def body_crop(fn, h, w):
+            def wrapped(imgs):
+                boxes = (pred_body_bboxes if imgs is preds
+                         else ref_body_bboxes)
+                if boxes is None:
+                    return fn(imgs)
+                from impersonator_tpu.models.losses import (
+                    crop_resize_fractional)
+                return fn(crop_resize_fractional(
+                    imgs, jnp.asarray(boxes), h, w))
+            return wrapped
 
         if self.inception_fn is not None:
             pool, probs = self.inception_fn(preds)
@@ -139,9 +158,9 @@ class UnpairedMetricRunner:
                 pool_r, _ = self.inception_fn(refs)
                 self._acc["inc"]["ref"].append(np.asarray(pool_r))
         if self.reid_fn is not None:
-            both("reid", self.reid_fn)
+            both("reid", body_crop(self.reid_fn, 256, 128))
         if self.pcb_fn is not None:
-            both("pcb", self.pcb_fn)
+            both("pcb", body_crop(self.pcb_fn, 384, 192))
         if self.face_fn is not None:
             crops = accepts_bboxes(self.face_fn)
 

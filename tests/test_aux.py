@@ -671,3 +671,48 @@ def test_aug_trainer_bf16_and_remat_match_fp32():
     assert totals["remat"] == pytest.approx(totals["fp32"], rel=1e-5)
     assert abs(totals["bf16"] - totals["fp32"]) \
         / max(abs(totals["fp32"]), 1.0) < 5e-2, totals
+
+
+def test_reid_body_crop_threading():
+    """Person boxes given to the runners must route reid embeddings
+    through crop_resize_fractional at the net's native patch size
+    (reference YOLOv3-cropped reid, metrics.py:784-832) — and full
+    frames when absent."""
+    import numpy as np
+    import jax.numpy as jnp
+    from impersonator_tpu.metrics import PairedMetricRunner
+    from impersonator_tpu.metrics.unpaired import UnpairedMetricRunner
+    from impersonator_tpu.models.losses import crop_resize_fractional
+
+    def reid_fn(imgs):                      # embedding = per-channel mean
+        return jnp.mean(imgs, axis=(1, 2))
+
+    r = np.random.default_rng(1)
+    preds = r.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    refs = r.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    boxes = np.asarray([[0.1, 0.6, 0.2, 0.9],
+                        [0.0, 1.0, 0.0, 1.0]], np.float32)
+
+    runner = UnpairedMetricRunner(reid_fn=reid_fn)
+    runner.update(preds, refs, pred_body_bboxes=boxes,
+                  ref_body_bboxes=boxes)
+    got = runner._acc["reid"]["pred"][0]
+    want = np.asarray(reid_fn(crop_resize_fractional(
+        jnp.asarray(preds), jnp.asarray(boxes), 256, 128)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # absent boxes -> full-frame embedding (unchanged default)
+    runner2 = UnpairedMetricRunner(reid_fn=reid_fn)
+    runner2.update(preds, refs)
+    np.testing.assert_allclose(runner2._acc["reid"]["pred"][0],
+                               np.asarray(reid_fn(jnp.asarray(preds))),
+                               atol=1e-6)
+
+    # paired OS-CS-reid accepts the same boxes without error and the
+    # score moves when crops differ from full frames
+    p1 = PairedMetricRunner(metric_types=("OS-CS-reid",), reid_fn=reid_fn)
+    p1.update(preds, refs, pred_body_bboxes=boxes, ref_body_bboxes=boxes)
+    p2 = PairedMetricRunner(metric_types=("OS-CS-reid",), reid_fn=reid_fn)
+    p2.update(preds, refs)
+    assert np.isfinite(p1.evaluate()["OS-CS-reid"])
+    assert p1.evaluate()["OS-CS-reid"] != p2.evaluate()["OS-CS-reid"]

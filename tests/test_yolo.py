@@ -1,0 +1,263 @@
+"""YOLOv3 person detector: tiny-cfg graph parity against a functional-
+torch darknet oracle (every layer type: conv+bn folded, conv no-bn,
+both maxpool variants, upsample, multi-route, absolute route, shortcut,
+two yolo scales), weighted-merge NMS semantics, and the REAL
+yolov3-spp.cfg (parse + darknet-binary loader layout + full 113-layer
+graph under jit)."""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/repo")
+from impersonator_tpu.metrics import yolo as Y  # noqa: E402
+import torch_ref  # noqa: E402
+
+
+TINY_CFG = """
+[net]
+channels=3
+height=64
+width=64
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-2
+activation=linear
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=1
+
+[maxpool]
+size=5
+stride=1
+
+[route]
+layers=-1,-2
+
+[convolutional]
+filters=18
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1
+anchors=10,14, 23,27, 37,58
+classes=4
+
+[route]
+layers=3
+
+[upsample]
+stride=2
+
+[convolutional]
+filters=27
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,14, 23,27, 37,58
+classes=4
+"""
+
+
+@pytest.fixture
+def tiny(tmp_path, rng):
+    cfg = tmp_path / "tiny.cfg"
+    cfg.write_text(TINY_CFG)
+    layers = Y.build_layers(Y.parse_darknet_cfg(str(cfg)))
+    # well-conditioned buffer in the exact darknet file layout: random
+    # non-identity BN stats exercise the fold math, He-scaled kernels
+    # keep activations bounded so the exp() wh decode stays finite
+    chunks = []
+    for ld in layers:
+        if ld["type"] != "convolutional":
+            continue
+        co, ci, k = ld["filters"], ld["in_ch"], ld["size"]
+        if ld["bn"]:
+            chunks += [rng.normal(0, 0.1, co), rng.uniform(0.5, 1.5, co),
+                       rng.normal(0, 0.1, co), rng.uniform(0.5, 1.5, co)]
+        else:
+            chunks.append(rng.normal(0, 0.1, co))
+        chunks.append(rng.standard_normal(co * ci * k * k)
+                      / np.sqrt(ci * k * k))
+    buf = np.concatenate(chunks).astype(np.float32)
+    assert buf.size == Y.expected_weight_count(layers)
+    wfile = tmp_path / "tiny.weights"
+    with open(wfile, "wb") as f:
+        np.zeros(5, np.int32).tofile(f)
+        buf.tofile(f)
+    return layers, str(wfile)
+
+
+def test_tiny_cfg_structure(tiny):
+    layers, _ = tiny
+    kinds = [ld["type"] for ld in layers]
+    assert kinds == ["convolutional", "convolutional", "shortcut",
+                     "convolutional", "maxpool", "maxpool", "route",
+                     "convolutional", "yolo", "route", "upsample",
+                     "convolutional", "yolo"]
+    assert layers[6]["layers"] == [-1, -2]
+    assert layers[7]["in_ch"] == 32           # SPP-style concat
+    assert layers[9]["layers"] == [3]         # absolute route
+    assert layers[11]["in_ch"] == 16
+    assert layers[8]["anchors"] == ((10, 14), (23, 27))
+
+
+def test_tiny_graph_matches_torch_oracle(tiny, rng):
+    layers, wfile = tiny
+    params = Y.load_darknet_weights(layers, wfile)
+    sd = torch_ref.darknet_load_torch(layers, wfile)
+
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(Y.darknet_apply(layers, params, jnp.asarray(x)))
+    theirs = torch_ref.darknet_forward(
+        layers, sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    # head A: 2 anchors * 16 * 16; head B: 3 anchors * 32 * 32
+    assert ours.shape == (2, 2 * 16 * 16 + 3 * 32 * 32, 9)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_loader_rejects_bad_sizes(tiny, tmp_path):
+    layers, wfile = tiny
+    buf = np.fromfile(wfile, np.float32)
+    short = tmp_path / "short.weights"
+    buf[:-10].tofile(short)
+    with pytest.raises(ValueError, match="truncated"):
+        Y.load_darknet_weights(layers, str(short))
+    long = tmp_path / "long.weights"
+    np.concatenate([buf, np.zeros(7, np.float32)]).tofile(long)
+    with pytest.raises(ValueError, match="unread"):
+        Y.load_darknet_weights(layers, str(long))
+
+
+def test_weighted_merge_nms():
+    """utils/utils.py:226-264 semantics: same-class overlaps merge
+    confidence-weighted; other classes and disjoint boxes survive."""
+    def det(cx, cy, w, h, obj, cls_probs):
+        return [cx, cy, w, h, obj] + cls_probs
+
+    pred = np.asarray([[
+        det(50, 50, 20, 20, 0.9, [0.8, 0.1]),
+        det(52, 50, 20, 20, 0.6, [0.7, 0.2]),     # merges into the first
+        det(50, 50, 20, 20, 0.85, [0.1, 0.9]),    # other class: kept
+        det(150, 150, 10, 10, 0.7, [0.9, 0.05]),  # disjoint: kept
+        det(150, 150, 10, 10, 0.1, [0.9, 0.05]),  # below conf: dropped
+    ]], np.float32)
+    out = Y.non_max_suppression(pred, conf_thres=0.5, nms_thres=0.4)[0]
+    assert out.shape == (3, 7)
+    # rows sort by obj*cls_conf: class-1 box (0.765) first, then the
+    # merged class-0 pair (0.72), then the disjoint one (0.63)
+    assert out[:, 6].tolist() == [1, 0, 0]
+    # merged x1 = (0.9*40 + 0.6*42) / 1.5 = 40.8; the survivor keeps
+    # its own confidence
+    np.testing.assert_allclose(out[1, 0], 40.8, atol=1e-4)
+    assert out[1, 4] == np.float32(0.9)
+    np.testing.assert_allclose(out[0, 0], 40.0, atol=1e-5)
+    np.testing.assert_allclose(out[2, :2], [145.0, 145.0], atol=1e-4)
+    # empty image -> None
+    assert Y.non_max_suppression(
+        np.zeros((1, 4, 7), np.float32), 0.5, 0.4) == [None]
+
+
+def test_body_bboxes_fallback_full_frame(tiny, rng):
+    layers, wfile = tiny
+    det = Y.YoloHumanDetector.__new__(Y.YoloHumanDetector)
+    det.layers = layers
+    det.params = Y.load_darknet_weights(layers, wfile)
+    det.conf_thres = 1.1                        # nothing can clear this
+    det.nms_thres = 0.4
+    import jax
+    from functools import partial
+    det._apply = jax.jit(partial(Y.darknet_apply, layers, det.params))
+    imgs = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    bb = det.body_bboxes(imgs)
+    np.testing.assert_allclose(bb, [[0, 1, 0, 1], [0, 1, 0, 1]])
+
+
+SPP_CFG = ("/root/reference/thirdparty/his_evaluators/his_evaluators/"
+           "metrics/yolov3/config/yolov3-spp.cfg")
+
+
+@pytest.mark.skipif(not os.path.exists(SPP_CFG),
+                    reason="reference tree (yolov3-spp.cfg) not mounted")
+def test_real_spp_cfg_graph(rng):
+    """Parse the reference's shipped yolov3-spp.cfg, synthesize a
+    well-conditioned darknet weights buffer in the exact file layout
+    (identity BN stats + He-scaled kernels), and run the full 113-layer
+    graph under jit. The released 240 MB yolov3-spp.weights is not in
+    this environment; this proves the cfg->graph->loader path end to
+    end so the real file drops in."""
+    layers = Y.build_layers(Y.parse_darknet_cfg(SPP_CFG))
+    kinds = [ld["type"] for ld in layers]
+    assert kinds.count("convolutional") == 76
+    assert kinds.count("yolo") == 3
+    assert kinds.count("route") == 7 and kinds.count("maxpool") == 3
+    assert all(ld["classes"] == 80 for ld in layers
+               if ld["type"] == "yolo")
+
+    chunks = []
+    for ld in layers:
+        if ld["type"] != "convolutional":
+            continue
+        co, ci, k = ld["filters"], ld["in_ch"], ld["size"]
+        if ld["bn"]:
+            chunks += [np.zeros(co), np.ones(co),     # beta, gamma
+                       np.zeros(co), np.ones(co)]     # mean, var
+        else:
+            chunks.append(np.zeros(co))
+        chunks.append(rng.standard_normal(co * ci * k * k)
+                      / np.sqrt(ci * k * k))
+    buf = np.concatenate(chunks).astype(np.float32)
+    assert buf.size == Y.expected_weight_count(layers)
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".weights") as f:
+        np.zeros(5, np.int32).tofile(f)
+        buf.tofile(f)
+        f.flush()
+        params = Y.load_darknet_weights(layers, f.name)
+
+    x = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    out = np.asarray(Y.darknet_apply(layers, params, jnp.asarray(x)))
+    # heads at strides 32/16/8: 3 anchors each over 3/6/12 grids
+    assert out.shape == (1, 3 * (3 * 3 + 6 * 6 + 12 * 12), 85)
+    assert np.isfinite(out).all()
+    # decoded boxes are in input pixels; conf/cls are probabilities
+    assert (out[..., 4:] >= 0).all() and (out[..., 4:] <= 1).all()
+    assert (out[..., 0] >= 0).all() and (out[..., 0] <= 96).all()

@@ -946,3 +946,211 @@ def imitate_chain_torch(sd, src_img, src_cond, src_p2verts, tsf_fim,
                                             tsf_inputs, T, repeat=repeat)
     preds = mask * bg + (1 - mask) * color
     return preds, T, bg, syn
+
+
+# ---------------------------------------------------------------------------
+# MTCNN stage nets (facenet_pytorch models/mtcnn.py:9-154)
+# ---------------------------------------------------------------------------
+
+
+def _prelu(sd, key, x):
+    return F.prelu(x, sd[f"{key}.weight"])
+
+
+def _maxpool_ceil(x, k, s):
+    return F.max_pool2d(x, k, s, ceil_mode=True)
+
+
+def pnet_forward(sd, x):
+    """mtcnn.py:37-48. x NCHW normalized; returns (reg, prob)."""
+    x = _prelu(sd, "prelu1", _conv(sd, "conv1", x))
+    x = _maxpool_ceil(x, 2, 2)
+    x = _prelu(sd, "prelu2", _conv(sd, "conv2", x))
+    x = _prelu(sd, "prelu3", _conv(sd, "conv3", x))
+    a = torch.softmax(_conv(sd, "conv4_1", x), dim=1)
+    b = _conv(sd, "conv4_2", x)
+    return b, a
+
+
+def rnet_forward(sd, x):
+    """mtcnn.py:82-97 incl. the (B,C,H,W)->(B,W,H,C) flatten quirk."""
+    x = _prelu(sd, "prelu1", _conv(sd, "conv1", x))
+    x = _maxpool_ceil(x, 3, 2)
+    x = _prelu(sd, "prelu2", _conv(sd, "conv2", x))
+    x = _maxpool_ceil(x, 3, 2)
+    x = _prelu(sd, "prelu3", _conv(sd, "conv3", x))
+    x = x.permute(0, 3, 2, 1).contiguous().view(x.shape[0], -1)
+    x = _prelu(sd, "prelu4", F.linear(x, sd["dense4.weight"],
+                                      sd["dense4.bias"]))
+    a = torch.softmax(F.linear(x, sd["dense5_1.weight"],
+                               sd["dense5_1.bias"]), dim=1)
+    b = F.linear(x, sd["dense5_2.weight"], sd["dense5_2.bias"])
+    return b, a
+
+
+def onet_forward(sd, x):
+    """mtcnn.py:135-154."""
+    x = _prelu(sd, "prelu1", _conv(sd, "conv1", x))
+    x = _maxpool_ceil(x, 3, 2)
+    x = _prelu(sd, "prelu2", _conv(sd, "conv2", x))
+    x = _maxpool_ceil(x, 3, 2)
+    x = _prelu(sd, "prelu3", _conv(sd, "conv3", x))
+    x = _maxpool_ceil(x, 2, 2)
+    x = _prelu(sd, "prelu4", _conv(sd, "conv4", x))
+    x = x.permute(0, 3, 2, 1).contiguous().view(x.shape[0], -1)
+    x = _prelu(sd, "prelu5", F.linear(x, sd["dense5.weight"],
+                                      sd["dense5.bias"]))
+    a = torch.softmax(F.linear(x, sd["dense6_1.weight"],
+                               sd["dense6_1.bias"]), dim=1)
+    b = F.linear(x, sd["dense6_2.weight"], sd["dense6_2.bias"])
+    c = F.linear(x, sd["dense6_3.weight"], sd["dense6_3.bias"])
+    return b, c, a
+
+
+def _mt_layers(rng, spec):
+    """spec rows: ('conv'|'dense'|'prelu', name, shape...)."""
+    sd = {}
+    for row in spec:
+        kind, name = row[0], row[1]
+        if kind == "conv":
+            cin, cout, k = row[2:]
+            sd[f"{name}.weight"] = torch.from_numpy(
+                rng.standard_normal((cout, cin, k, k)).astype(np.float32)
+                * 0.1)
+            sd[f"{name}.bias"] = torch.from_numpy(
+                rng.standard_normal((cout,)).astype(np.float32) * 0.1)
+        elif kind == "dense":
+            cin, cout = row[2:]
+            sd[f"{name}.weight"] = torch.from_numpy(
+                rng.standard_normal((cout, cin)).astype(np.float32) * 0.05)
+            sd[f"{name}.bias"] = torch.from_numpy(
+                rng.standard_normal((cout,)).astype(np.float32) * 0.05)
+        else:                                            # prelu
+            c = row[2]
+            sd[f"{name}.weight"] = torch.from_numpy(
+                np.abs(rng.standard_normal((c,))).astype(np.float32) * 0.25)
+    return sd
+
+
+def make_pnet_sd(rng):
+    return _mt_layers(rng, [
+        ("conv", "conv1", 3, 10, 3), ("prelu", "prelu1", 10),
+        ("conv", "conv2", 10, 16, 3), ("prelu", "prelu2", 16),
+        ("conv", "conv3", 16, 32, 3), ("prelu", "prelu3", 32),
+        ("conv", "conv4_1", 32, 2, 1), ("conv", "conv4_2", 32, 4, 1)])
+
+
+def make_rnet_sd(rng):
+    return _mt_layers(rng, [
+        ("conv", "conv1", 3, 28, 3), ("prelu", "prelu1", 28),
+        ("conv", "conv2", 28, 48, 3), ("prelu", "prelu2", 48),
+        ("conv", "conv3", 48, 64, 2), ("prelu", "prelu3", 64),
+        ("dense", "dense4", 576, 128), ("prelu", "prelu4", 128),
+        ("dense", "dense5_1", 128, 2), ("dense", "dense5_2", 128, 4)])
+
+
+def make_onet_sd(rng):
+    return _mt_layers(rng, [
+        ("conv", "conv1", 3, 32, 3), ("prelu", "prelu1", 32),
+        ("conv", "conv2", 32, 64, 3), ("prelu", "prelu2", 64),
+        ("conv", "conv3", 64, 64, 3), ("prelu", "prelu3", 64),
+        ("conv", "conv4", 64, 128, 2), ("prelu", "prelu4", 128),
+        ("dense", "dense5", 1152, 256), ("prelu", "prelu5", 256),
+        ("dense", "dense6_1", 256, 2), ("dense", "dense6_2", 256, 4),
+        ("dense", "dense6_3", 256, 10)])
+
+
+# ---------------------------------------------------------------------------
+# Darknet / YOLOv3 functional interpreter (yolov3/models.py:12-260).
+# Independent of metrics/yolo.py by construction: NCHW, explicit
+# (unfolded) BatchNorm, torch ops throughout.
+# ---------------------------------------------------------------------------
+
+
+def darknet_load_torch(layers, path, ):
+    """darknet .weights -> {conv{i}: tensors} keeping BN params separate
+    (models.py:262-314 byte order)."""
+    import numpy as _np
+    with open(path, "rb") as f:
+        _np.fromfile(f, dtype=_np.int32, count=5)
+        w = _np.fromfile(f, dtype=_np.float32)
+    sd, ptr = {}, 0
+
+    def take(n):
+        nonlocal ptr
+        out = torch.from_numpy(w[ptr:ptr + n].copy())
+        ptr += n
+        return out
+
+    for ld in layers:
+        if ld["type"] != "convolutional":
+            continue
+        i, co, ci, k = ld["index"], ld["filters"], ld["in_ch"], ld["size"]
+        if ld["bn"]:
+            sd[f"{i}.bn_b"] = take(co)
+            sd[f"{i}.bn_w"] = take(co)
+            sd[f"{i}.bn_rm"] = take(co)
+            sd[f"{i}.bn_rv"] = take(co)
+        else:
+            sd[f"{i}.b"] = take(co)
+        sd[f"{i}.w"] = take(co * ci * k * k).view(co, ci, k, k)
+    return sd
+
+
+def _yolo_decode_torch(x, anchors, num_classes, img_dim):
+    """YOLOLayer.forward eval path (models.py:131-176)."""
+    b, _, g, _ = x.shape
+    na = len(anchors)
+    stride = img_dim / g
+    p = (x.view(b, na, num_classes + 5, g, g)
+         .permute(0, 1, 3, 4, 2).contiguous())
+    grid_x = torch.arange(g).repeat(g, 1).view(1, 1, g, g).float()
+    grid_y = torch.arange(g).repeat(g, 1).t().view(1, 1, g, g).float()
+    aw = torch.tensor([a[0] / stride for a in anchors]).view(1, na, 1, 1)
+    ah = torch.tensor([a[1] / stride for a in anchors]).view(1, na, 1, 1)
+    boxes = torch.stack([torch.sigmoid(p[..., 0]) + grid_x,
+                         torch.sigmoid(p[..., 1]) + grid_y,
+                         torch.exp(p[..., 2]) * aw,
+                         torch.exp(p[..., 3]) * ah], dim=-1)
+    return torch.cat([boxes.view(b, -1, 4) * stride,
+                      torch.sigmoid(p[..., 4]).view(b, -1, 1),
+                      torch.sigmoid(p[..., 5:]).view(b, -1, num_classes)],
+                     dim=-1)
+
+
+def darknet_forward(layers, sd, x):
+    """Darknet.forward eval path (models.py:251-260). x NCHW in [0,1]."""
+    img_dim = x.shape[2]
+    outs, dets = [], []
+    for ld in layers:
+        t = ld["type"]
+        if t == "convolutional":
+            i = ld["index"]
+            pad = ld["pad"]
+            x = F.conv2d(x, sd[f"{i}.w"], sd.get(f"{i}.b"),
+                         stride=ld["stride"], padding=pad)
+            if ld["bn"]:
+                x = F.batch_norm(x, sd[f"{i}.bn_rm"], sd[f"{i}.bn_rv"],
+                                 sd[f"{i}.bn_w"], sd[f"{i}.bn_b"],
+                                 training=False, eps=1e-5)
+            if ld["leaky"]:
+                x = F.leaky_relu(x, 0.1)
+        elif t == "maxpool":
+            k, s = ld["size"], ld["stride"]
+            if k == 2 and s == 1:
+                x = F.pad(x, (0, 1, 0, 1))
+                x = F.max_pool2d(x, k, s, padding=0)
+            else:
+                x = F.max_pool2d(x, k, s, padding=(k - 1) // 2)
+        elif t == "upsample":
+            x = F.interpolate(x, scale_factor=ld["stride"], mode="nearest")
+        elif t == "route":
+            x = torch.cat([outs[j] for j in ld["layers"]], dim=1)
+        elif t == "shortcut":
+            x = outs[-1] + outs[ld["frm"]]
+        elif t == "yolo":
+            x = _yolo_decode_torch(x, ld["anchors"], ld["classes"],
+                                   img_dim)
+            dets.append(x)
+        outs.append(x)
+    return torch.cat(dets, dim=1)

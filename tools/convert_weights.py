@@ -519,6 +519,36 @@ def convert_facenet_ir(sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_mtcnn_net(sd) -> dict:
+    """One MTCNN stage net (facenet_pytorch pnet/rnet/onet .pt state
+    dict, mtcnn.py:9-154) -> metrics.mtcnn.{P,R,O}Net params. The
+    RNet/ONet dense layers need NO index remap despite torch's NCHW->
+    (B,W,H,C) flatten quirk: the flax modules replicate the same
+    permute before flattening, so feature order matches and Linear
+    weights convert by plain transpose."""
+    sd = _strip_module(sd)
+    params = {}
+    for k, v in sd.items():
+        name = k.rsplit(".", 1)[0]
+        if k.endswith(".weight") and getattr(v, "ndim", _np(v).ndim) == 4:
+            _set(params, f"{name}/conv/kernel", conv_w(v))
+        elif k.endswith(".weight") and name.startswith("prelu"):
+            _set(params, f"{name}/alpha", _np(v))
+        elif k.endswith(".weight"):
+            _set(params, f"{name}/kernel", dense_w(v))
+        elif k.endswith(".bias") and name.startswith("conv"):
+            _set(params, f"{name}/conv/bias", _np(v))
+        elif k.endswith(".bias"):
+            _set(params, f"{name}/bias", _np(v))
+    return {"params": params}
+
+
+def convert_mtcnn(sds: Dict) -> dict:
+    """{'pnet': sd, 'rnet': sd, 'onet': sd} -> one tree holding all
+    three stage nets (metrics.mtcnn.MTCNNDetector / load_mtcnn)."""
+    return {net: convert_mtcnn_net(sd) for net, sd in sds.items()}
+
+
 CONVERTERS = {
     "hmr": convert_hmr,
     "gen": convert_generator,
@@ -532,6 +562,7 @@ CONVERTERS = {
     "alexnet": convert_alexnet,
     "lpips": convert_lpips,
     "inception": convert_inception,
+    "mtcnn": convert_mtcnn,
 }
 
 
@@ -560,10 +591,17 @@ def main():
         sd = torch.load(p, map_location="cpu")
         return sd.state_dict() if hasattr(sd, "state_dict") else sd
 
-    sd = load(args.src)
-    if args.kind == "lpips" and args.src2:
+    if args.kind == "mtcnn":
+        # src = directory holding pnet.pt / rnet.pt / onet.pt (the
+        # reference's facenet_pytorch/data layout)
+        import os
+        tree = convert_mtcnn({n: load(os.path.join(args.src, f"{n}.pt"))
+                              for n in ("pnet", "rnet", "onet")})
+    elif args.kind == "lpips" and args.src2:
+        sd = load(args.src)
         tree = convert_lpips(sd, load(args.src2))
     else:
+        sd = load(args.src)
         tree = CONVERTERS[args.kind](sd)
     with open(args.dst, "wb") as f:
         f.write(serialization.to_bytes(tree))
