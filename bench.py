@@ -159,7 +159,10 @@ def main():
 
     imit.personalize(src_img, src_smpl=src_theta)
 
-    batch = 16
+    # 32 is the measured throughput knee on v5e: the imitate step is
+    # HBM-bound, so bigger batches only amortize dispatch — sweep
+    # (step-only, one upload): 8→253, 16→274, 32→316, 64→314 f/s
+    batch = 32
     n_frames = 128
     thetas = np.tile(src_theta, (n_frames, 1))
     thetas[:, 3:75] += rng.normal(0, 0.05, (n_frames, 72)).astype(np.float32)
@@ -443,9 +446,10 @@ def main():
         "vs_baseline": round(fps_full / n_chips / 30.0, 3),
         "fps_given_smpls": round(fps_smpl / n_chips, 3),
         "tile_stats": stats,
-        "breakdown_ms_batch16": breakdown_ms,
+        f"breakdown_ms_batch{batch}": breakdown_ms,
         "consistency": consistency,
         "tunnel": tunnel,
+        "batch": batch,
     }
     if fps_e2e is not None:
         result["fps_e2e_host_io"] = round(fps_e2e / n_chips, 3)
