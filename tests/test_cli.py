@@ -454,3 +454,38 @@ def test_serve_http_roundtrip(tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_evaluate_protocol_reid_person_crops(tmp_path, rng):
+    """--yolo_cfg/--yolo_weights wiring: person boxes from the detector
+    thread into paired OS-CS-reid and the unpaired reid stream as crops
+    (reference FreIDMetric convention, metrics.py:784-832). The detector
+    net itself is parity-tested in test_yolo.py; here a stub proves the
+    protocol runner computes boxes per embedded batch and the scores
+    stay finite."""
+    import jax.numpy as jnp
+    from impersonator_tpu.cli.evaluate import evaluate_protocol
+    from impersonator_tpu.config import TestConfig
+
+    calls = []
+
+    class StubYolo:
+        def body_bboxes(self, imgs):
+            b = np.asarray(imgs).shape[0]
+            calls.append(b)
+            return np.tile(np.asarray([0.2, 0.8, 0.1, 0.9], np.float32),
+                           (b, 1))
+
+    def reid_fn(imgs):
+        return jnp.mean(imgs, axis=(1, 2))
+
+    data_dir, proto = _fake_iper_tree(tmp_path, rng)
+    cfg = TestConfig(image_size=S, repeat_num=1, data_dir=data_dir,
+                     checkpoints_dir=str(tmp_path / "ckpt"), name="eval",
+                     output_dir=str(tmp_path / "out"))
+    results = evaluate_protocol(cfg, proto, max_videos=1, max_frames=3,
+                                reid_fn=reid_fn, yolo=StubYolo())
+    # paired + unpaired reid batches each computed their own boxes
+    assert len(calls) >= 2
+    assert np.isfinite(results["self_imitation"]["OS-CS-reid"])
+    assert np.isfinite(results["cross_imitation"]["OS-freid"])
