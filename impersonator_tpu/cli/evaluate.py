@@ -65,6 +65,12 @@ def _load_msgpack(path):
 REAL_LPIPS_LIN = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "weights", "lpips_v01_alex_lin.msgpack")
+# the reference's released MTCNN P/R/O-net weights, converted in-tree
+# (face localization stays SMPL-derived by default — this is the
+# opt-in reference-exact detector, --mtcnn_path)
+REAL_MTCNN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights", "mtcnn_pro.msgpack")
 
 
 def build_extractors(lpips_path=None, inception_path=None, sphere_path=None,
@@ -393,12 +399,12 @@ def main(argv=None):
                         help="converted InceptionResnetV1 (vggface2) "
                              "msgpack - the reference's face-CS/FD net")
     parser.add_argument("--mtcnn_path", default=None,
-                        help="converted MTCNN msgpack (tools/"
-                             "convert_weights.py mtcnn over the "
-                             "reference's released pnet/rnet/onet .pt); "
-                             "when set, face-CS/FD crops come from the "
-                             "reference's exact face detector instead of "
-                             "SMPL head geometry")
+                        help="converted MTCNN msgpack; when set, "
+                             "face-CS/FD crops come from the reference's "
+                             "exact face detector instead of SMPL head "
+                             "geometry. The released P/R/O-net weights "
+                             "ship converted in-tree at "
+                             f"{REAL_MTCNN} — pass that path to enable")
     parser.add_argument("--yolo_cfg", default=None,
                         help="darknet cfg (the reference ships "
                              "yolov3/config/yolov3-spp.cfg); with "

@@ -132,3 +132,17 @@ def test_real_weights_detect_multiface(tmp_path):
     assert hb.shape == (1, 4)
     assert (hb >= 0).all() and (hb <= 1).all()
     assert hb[0, 0] < hb[0, 1] and hb[0, 2] < hb[0, 3]
+
+
+SHIPPED = os.path.join(os.path.dirname(__file__), "..", "impersonator_tpu",
+                       "weights", "mtcnn_pro.msgpack")
+
+
+def test_shipped_mtcnn_weights_load():
+    """The in-tree converted P/R/O-net msgpack (the reference's released
+    detector, shipped like the LPIPS lin heads) must load and run."""
+    det = M.load_mtcnn(SHIPPED)
+    x = np.full((1, 16, 16, 3), 100.0, np.float32)
+    reg, prob = det._pnet((x - 127.5) * 0.0078125)
+    assert reg.shape == (1, 3, 3, 4) and prob.shape == (1, 3, 3, 2)
+    np.testing.assert_allclose(np.asarray(prob).sum(-1), 1.0, atol=1e-5)
