@@ -437,6 +437,17 @@ def main():
             tunnel["d2h_gbps"] * (1024 ** 3) / bpf / n_chips, 1)
         tunnel["readback_ceiling_fps_i420"] = round(
             tunnel["d2h_gbps"] * (1024 ** 3) / (bpf // 2) / n_chips, 1)
+    if tunnel.get("h2d_gbps"):
+        # H2D-bound ceiling for the host-io legs: one 224x224x3 u8
+        # ingest frame per output frame
+        in_bpf = 224 * 224 * 3
+        tunnel["ingest_ceiling_fps"] = round(
+            tunnel["h2d_gbps"] * (1024 ** 3) / in_bpf / n_chips, 1)
+        # link-health marker so cross-round comparisons don't read a
+        # slow-tunnel day as a code regression (healthy ~0.025 GB/s
+        # d2h on this relay; see docs/run_details.md)
+        tunnel["health"] = ("healthy" if tunnel.get("d2h_gbps", 0) >= 0.02
+                            else "degraded")
 
     result = {
         "metric": "frames/sec/chip at 256x256 motion imitation (HMR + SMPL"
