@@ -18,6 +18,9 @@ from impersonator_tpu.utils import cv_utils
 from impersonator_tpu.utils.video import frames_to_mp4
 
 
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
 def collect_frames(tgt_path: str):
     if os.path.isdir(tgt_path):
         return sorted(

@@ -55,6 +55,33 @@ def rgb_to_i420(preds: jax.Array) -> jax.Array:
     ], axis=1)
 
 
+def i420_to_rgb_device(packed: jax.Array) -> jax.Array:
+    """Device-side inverse for video INGEST: packed I420 (N, H*3//2, W)
+    uint8 -> (N, H, W, 3) float32 in [-1, 1].
+
+    Video decoders emit yuv420p natively — accepting it raw halves the
+    host->device bytes (1.5 B/px vs u8 RGB's 3) and moves the colorspace
+    conversion onto the TPU, where it fuses into the consumer's first
+    conv. Same BT.601 limited-range inverse + nearest-neighbor chroma
+    upsample as the host ``i420_to_rgb`` so the two paths agree to float
+    rounding.
+    """
+    n, h32, w = packed.shape
+    h = h32 * 2 // 3
+    f = packed.astype(jnp.float32)
+    y = f[:, :h, :]
+    u = f[:, h:h + h // 4, :].reshape(n, h // 2, w // 2)
+    v = f[:, h + h // 4:, :].reshape(n, h // 2, w // 2)
+    up = lambda c: jnp.repeat(jnp.repeat(c, 2, axis=1), 2,  # noqa: E731
+                              axis=2)
+    c = 1.164383 * (y - 16.0)
+    d, e = up(u) - 128.0, up(v) - 128.0
+    rgb = jnp.stack([c + 1.596027 * e,
+                     c - 0.391762 * d - 0.812968 * e,
+                     c + 2.017232 * d], axis=-1)
+    return jnp.clip(rgb / 127.5 - 1.0, -1.0, 1.0)
+
+
 def i420_to_rgb(packed: np.ndarray) -> np.ndarray:
     """Host-side inverse for tests / jpg export: packed (N, H*3//2, W)
     uint8 -> (N, H, W, 3) uint8 RGB (nearest-neighbor chroma upsample)."""

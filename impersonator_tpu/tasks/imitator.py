@@ -374,6 +374,14 @@ class Imitator:
         _hmr_u8 = jax.jit(lambda p, u8: self.nets.hmr.apply(
             p, u8.astype(jnp.float32) / 127.5 - 1.0))
         self._hmr_u8_jit = lambda u8: _hmr_u8(self.nets.hmr_params, u8)
+        # raw-yuv420p ingest: video decoders emit I420 natively; the
+        # colorspace inverse runs on device, fused into HMR's forward
+        # (1.5 B/px over H2D vs u8 RGB's 3 — see inference_from_video)
+        from impersonator_tpu.ops.colorspace import i420_to_rgb_device
+        _hmr_i420 = jax.jit(lambda p, packed: self.nets.hmr.apply(
+            p, i420_to_rgb_device(packed)))
+        self._hmr_i420_jit = lambda packed: _hmr_i420(
+            self.nets.hmr_params, packed)
 
     @property
     def _n_shards(self) -> int:
@@ -550,6 +558,57 @@ class Imitator:
                             yield np.stack(buf)
                             buf = []
 
+        return self._stream_infer(batches(), self._hmr_u8_jit, n,
+                                  cam_strategy, as_uint8, as_i420)
+
+    def inference_from_video(self, video_path: str,
+                             cam_strategy: str = "smooth", batch: int = 8,
+                             as_uint8: bool = False, as_i420: bool = False,
+                             fps: int | None = None):
+        """The video-native ingest mirror of the i420 readback: ffmpeg
+        decodes straight to raw planar yuv420p (its native pixel format
+        — no host RGB conversion at all), frames cross host->device at
+        1.5 bytes/pixel (half of u8 RGB, 8x less than fp32), and the
+        BT.601 inverse runs ON DEVICE fused into HMR's forward
+        (ops.colorspace.i420_to_rgb_device). With ``as_i420=True`` the
+        complete video->video job moves 1.5 B/px in BOTH link directions
+        — the binding constraint of the end-to-end pipeline is the
+        host<->device link, so bytes saved are throughput gained 1:1.
+        Reference behavior replaced: per-frame cv2 BGR decode + fp32
+        upload (``/root/reference/models/imitator.py:270-283``).
+
+        Frame count is unknown until the stream ends; the final partial
+        batch pads with its last frame and the pad is dropped on return.
+        """
+        assert self.src_info is not None, "call personalize() first"
+        from impersonator_tpu.utils.video import stream_i420
+        batch = self._round_batch(batch)
+        counter = {"n": 0}
+
+        def batches():
+            buf = []
+            for frame in stream_i420(video_path, size=224, fps=fps):
+                buf.append(frame)
+                counter["n"] += 1
+                if len(buf) == batch:
+                    yield np.stack(buf)
+                    buf = []
+            if buf:
+                buf.extend([buf[-1]] * (batch - len(buf)))
+                yield np.stack(buf)
+
+        out = self._stream_infer(batches(), self._hmr_i420_jit, None,
+                                 cam_strategy, as_uint8, as_i420)
+        return out[:counter["n"]]
+
+    def _stream_infer(self, chunks, hmr_fn, n, cam_strategy,
+                      as_uint8, as_i420):
+        """Shared streaming core: decode-overlap dispatch loop with
+        optional on-device packing and per-batch overlapped readback.
+
+        ``chunks`` yields host frame batches (u8 RGB 224 or packed
+        I420); ``hmr_fn`` is the matching fused HMR dispatch. ``n`` of
+        None means the stream length is unknown (return unsliced)."""
         if as_i420:
             from impersonator_tpu.ops.colorspace import rgb_to_i420
             pack = jax.jit(rgb_to_i420)
@@ -567,8 +626,8 @@ class Imitator:
         drain = ThreadPoolExecutor(1) if pack is not None else None
         outs = []
         first_cam = None
-        for chunk in batches():
-            thetas = self._hmr_u8_jit(self._put_batch(chunk))
+        for chunk in chunks:
+            thetas = hmr_fn(self._put_batch(chunk))
             if first_cam is None:
                 first_cam = thetas[0:1, 0:3]
                 self.first_cam = first_cam
@@ -580,13 +639,18 @@ class Imitator:
                 outs.append(drain.submit(np.asarray, pred))
             else:
                 outs.append(pred)
+        if not outs:
+            if drain is not None:
+                drain.shutdown()
+            raise ValueError("stream produced no frames (unreadable or "
+                             "empty video?)")
         if pack is not None:
             host = [f.result() for f in outs]
             drain.shutdown()
             out = np.concatenate(host, axis=0) if len(host) > 1 else host[0]
-            return out[:n]
+            return out if n is None else out[:n]
         out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        return out[:n]
+        return out if n is None else out[:n]
 
     def inference(self, tgt_imgs224, cam_strategy: str = "smooth",
                   batch: int = 8):

@@ -65,6 +65,36 @@ def i420_to_mp4(packed, out_path: str, fps: int = 25) -> str:
     return out_path
 
 
+def stream_i420(video_path: str, size: int = 224, fps: int | None = None):
+    """Decode a video straight to raw planar yuv420p frames, streamed.
+
+    Yields (size*3//2, size) uint8 arrays in I420 memory order — the
+    decoder's NATIVE pixel format, so ffmpeg does no RGB conversion and
+    the frames cross host->device at 1.5 bytes/pixel (half of u8 RGB).
+    The device side inverts with ``ops.colorspace.i420_to_rgb_device``.
+    This is the ingest mirror of the i420 readback path: the reference
+    decodes every frame to BGR on the host and ships fp32
+    (``/root/reference/models/imitator.py:270-283``).
+    """
+    vf = f"scale={size}:{size}"
+    if fps:
+        vf = f"fps={fps},{vf}"
+    cmd = [_ffmpeg(), "-i", video_path, "-vf", vf, "-f", "rawvideo",
+           "-pix_fmt", "yuv420p", "-"]
+    nbytes = size * size * 3 // 2
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, bufsize=nbytes * 4)
+    try:
+        while True:
+            buf = proc.stdout.read(nbytes)
+            if len(buf) < nbytes:
+                break
+            yield np.frombuffer(buf, np.uint8).reshape(size * 3 // 2, size)
+    finally:
+        proc.stdout.close()
+        proc.wait()
+
+
 def video_to_frames(video_path: str, out_dir: str, fps: int | None = None):
     """Extract frames (tools/unzip_iPER.py's ffmpeg path)."""
     os.makedirs(out_dir, exist_ok=True)
