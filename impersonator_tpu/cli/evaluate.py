@@ -361,6 +361,226 @@ def evaluate_protocol(cfg: TestConfig, protocol_file: str,
             "num_si_frames": si_count, "num_ci_frames": ci_count}
 
 
+def _hmr_thetas(task, paths, batch: int = 8) -> np.ndarray:
+    """HMR-regressed (N, 85) thetas for frames at ``paths`` — the
+    fallback when a protocol video ships no pose_shape.pkl. Fixed-size
+    padded chunks through the one compiled HMR program."""
+    import jax.numpy as jnp
+    t224 = _read_batch(paths, 224)
+    n = t224.shape[0]
+    pad = (-n) % batch
+    if pad:
+        t224 = np.concatenate([t224, np.repeat(t224[-1:], pad, 0)])
+    outs = [np.asarray(task._hmr_jit(jnp.asarray(t224[i:i + batch])))
+            for i in range(0, n + pad, batch)]
+    return np.concatenate(outs, 0)[:n]
+
+
+def _src_frame(cfg, unit_paths, unit_smpls, task):
+    """Resolve source frame 0 (image resized to cfg.image_size + theta)."""
+    img = cv_utils.resize_img_hwc(
+        cv_utils.read_img(unit_paths[0]), cfg.image_size)
+    smpl = unit_smpls[0] if unit_smpls is not None else None
+    return img, smpl
+
+
+def evaluate_at_protocol(cfg: TestConfig, protocol_file: str,
+                         max_pairs: int | None = None,
+                         max_frames: int = 0,
+                         num_sources: int = 1,
+                         lpips_apply=None, face_fn=None, reid_fn=None,
+                         save_preds: bool = False,
+                         protocol_name: str = "iPER_Appearance_Transfer",
+                         target_part: str = "body") -> dict:
+    """Appearance-transfer evaluation (``--task swap``).
+
+    The working equivalent of the reference's (upstream-dead — see
+    metrics/protocols.IPERATProtocol) AT evaluator
+    (evaluators/appearance_transfer.py:109-167): per vid_name_pair, swap
+    the appearance video's clothes onto the source identity, drive the
+    composite with the appearance video's own motion, and score the
+    predictions PAIRED against that video's real frames (same actor in
+    both outfits, so the composite is reconstructable). Preds land in
+    the reference's layout ``{output_dir}/self_imitation/pred_%08d.jpg``
+    (appearance_transfer.py:26).
+    """
+    from impersonator_tpu.tasks.swapper import Swapper
+
+    protocol = build_protocol(protocol_name, cfg.data_dir, protocol_file,
+                              images_folder=cfg.images_folder,
+                              smpls_folder=cfg.smpls_folder)
+    protocol.setup(num_sources=num_sources, load_smpls=True)
+    swapper = Swapper(cfg)
+
+    pair_types = (["ssim", "psnr"] + (["lps"] if lpips_apply else [])
+                  + (["face-CS"] if face_fn else [])
+                  + (["OS-CS-reid"] if reid_fn else []))
+    paired = PairedMetricRunner(metric_types=pair_types,
+                                lpips_apply=lpips_apply,
+                                face_fn=face_fn, reid_fn=reid_fn)
+    per_pair = {}
+    si_dir = (os.path.join(cfg.output_dir, "self_imitation")
+              if save_preds else None)
+    count = 0
+
+    n = len(protocol) if max_pairs is None else min(max_pairs, len(protocol))
+    for idx in range(n):
+        unit = protocol[idx]
+        tag = f"{unit.src_vid}->{unit.app_vid}"
+        if not unit.src_paths or not unit.app_paths or not unit.motion_paths:
+            print(f"evaluate: {tag}: missing frames, skipped")
+            continue
+
+        # personalize both sides on their first source view
+        # (demo_swap.py:51 swap_setup; multi-view s_n noted in the
+        # imitate leg — this generator personalizes on ONE image)
+        src_img, src_smpl = _src_frame(cfg, unit.src_paths,
+                                       unit.src_smpls, swapper)
+        app_img, app_smpl = _src_frame(cfg, unit.app_paths,
+                                       unit.app_smpls, swapper)
+        swapper.swap_setup(src_img, app_img, src_smpl, app_smpl)
+        if cfg.post_tune:
+            from impersonator_tpu.tasks.post_tune import post_tune_swapper
+            post_tune_swapper(swapper)
+        swapped = np.asarray(swapper.swap(target_part=target_part))[0]
+
+        # re-personalize on the composite (still at the src pose), then
+        # drive the appearance video's motion; cam 'copy' adopts the
+        # drive cams so framing matches the gt frames
+        theta = (src_smpl if src_smpl is not None
+                 else np.asarray(swapper.src_info["theta"])[0])
+        state = swapper.personalize(swapped, smpl=theta)
+
+        motion_paths = _cap(unit.motion_paths, max_frames,
+                            "appearance-transfer", tag)
+        if unit.motion_smpls is not None:
+            motion_smpls = unit.motion_smpls[:len(motion_paths)]
+        else:
+            motion_smpls = _hmr_thetas(swapper, motion_paths)
+        preds = np.asarray(swapper.imitate_by_smpls(
+            state, motion_smpls, cam_strategy="copy"))
+        if si_dir:
+            os.makedirs(si_dir, exist_ok=True)
+            for i, p in enumerate(preds):
+                cv_utils.save_img(
+                    p, os.path.join(si_dir, f"pred_{count + i:08d}.jpg"))
+        count += len(preds)
+
+        refs = _read_batch(motion_paths, cfg.image_size)
+        pair_runner = PairedMetricRunner(metric_types=pair_types,
+                                         lpips_apply=lpips_apply,
+                                         face_fn=face_fn, reid_fn=reid_fn)
+        pair_runner.update(preds, refs)
+        paired.merge(pair_runner)
+        per_pair[tag] = pair_runner.evaluate()
+
+    return {"self_imitation": paired.evaluate(), "per_video": per_pair,
+            "num_si_frames": count}
+
+
+def evaluate_view_protocol(cfg: TestConfig, protocol_file: str,
+                           max_videos: int | None = None,
+                           max_frames: int = 0,
+                           num_sources: int = 1,
+                           lpips_apply=None, face_fn=None, reid_fn=None,
+                           save_preds: bool = False,
+                           protocol_name: str = "MotionSynthetic_Novel_View",
+                           prior_poses_path: str | None = None) -> dict:
+    """Novel-view-synthesis evaluation (``--task view``).
+
+    Mirrors evaluators/novel_view_synthesize.py:141-165 (also
+    upstream-dead, see metrics/protocols.MSNovelViewProtocol): per
+    protocol video, personalize on the source frame and synthesize the
+    self-imitation range — a camera orbit — scoring predictions PAIRED
+    against the real frames. Views are driven through
+    ``tasks/viewer.py`` (Viewer.view_by_smpls derives each gt frame's
+    relative root rotation). Preds land directly under ``output_dir``
+    (novel_view_synthesize.py:26-27), named ``pred_%08d.jpg``.
+    """
+    import dataclasses
+
+    from impersonator_tpu.tasks.viewer import Viewer
+
+    protocol = build_protocol(protocol_name, cfg.data_dir, protocol_file,
+                              images_folder=cfg.images_folder,
+                              smpls_folder=cfg.smpls_folder)
+    protocol.setup(num_sources=num_sources, load_smpls=True)
+    # gt protocol frames keep their background; the evaluator compares
+    # raw frames (novel_view_synthesize.py:157-158 disables the masked-gt
+    # path), so the viewer must composite onto the inpainted source bg
+    viewer = Viewer(dataclasses.replace(cfg, bg_replace=True))
+
+    pair_types = (["ssim", "psnr"] + (["lps"] if lpips_apply else [])
+                  + (["face-CS"] if face_fn else [])
+                  + (["OS-CS-reid"] if reid_fn else []))
+    paired = PairedMetricRunner(metric_types=pair_types,
+                                lpips_apply=lpips_apply,
+                                face_fn=face_fn, reid_fn=reid_fn)
+    per_video = {}
+    count = 0
+
+    n = len(protocol) if max_videos is None else min(max_videos, len(protocol))
+    for idx in range(n):
+        unit = protocol[idx]
+        if not unit.src_paths or not unit.si_paths:
+            print(f"evaluate: {unit.video_id}: missing frames, skipped")
+            continue
+
+        src_img, src_smpl = _src_frame(cfg, unit.src_paths,
+                                       unit.src_smpls, viewer)
+        viewer.personalize(src_img, smpl=src_smpl)
+        if cfg.post_tune:
+            viewer.post_personalize(
+                load_prior_poses_arg(prior_poses_path))
+
+        si_paths = _cap(unit.si_paths, max_frames, "novel-view",
+                        unit.video_id)
+        if unit.si_smpls is not None:
+            si_smpls = unit.si_smpls[:len(si_paths)]
+        else:
+            si_smpls = _hmr_thetas(viewer, si_paths)
+        preds = np.asarray(viewer.view_by_smpls(si_smpls))
+        if save_preds:
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            for i, p in enumerate(preds):
+                cv_utils.save_img(p, os.path.join(
+                    cfg.output_dir, f"pred_{count + i:08d}.jpg"))
+        count += len(preds)
+
+        refs = _read_batch(si_paths, cfg.image_size)
+        vid_runner = PairedMetricRunner(metric_types=pair_types,
+                                        lpips_apply=lpips_apply,
+                                        face_fn=face_fn, reid_fn=reid_fn)
+        vid_runner.update(preds, refs)
+        paired.merge(vid_runner)
+        per_video[unit.video_id] = vid_runner.evaluate()
+
+    return {"self_imitation": paired.evaluate(), "per_video": per_video,
+            "num_si_frames": count}
+
+
+def load_prior_poses_arg(path):
+    if not path:
+        return None
+    from impersonator_tpu.tasks.post_tune import load_prior_poses
+    return load_prior_poses(path)
+
+
+def save_si_results(out_path: str, results: dict) -> None:
+    """Single-section results.txt — the AT/NV evaluators write only the
+    self-imitation block (appearance_transfer.py:293-296,
+    novel_view_synthesize.py:279-282)."""
+    with open(out_path, "w") as w:
+        w.write("#" * 24 + "Self-imitation Results" + "#" * 24 + "\n")
+        for key, val in results["self_imitation"].items():
+            w.write(f"{key} = {val}, quality = "
+                    f"{TYPES_QUALITIES.get(key, '?')}\n")
+        w.write("#" * 24 + "Per-video (self-imitation)" + "#" * 24 + "\n")
+        for vid, res in results["per_video"].items():
+            w.write(f"{vid}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in res.items()) + "\n")
+
+
 def save_results(out_path: str, results: dict) -> None:
     """Reference save_results format (motion_imitation.py:258-280)."""
     with open(out_path, "w") as w:
@@ -419,10 +639,27 @@ def main(argv=None):
     parser.add_argument("--sspe", action="store_true",
                         help="add the SSPE paired metric (HMR on preds vs "
                              "refs, his_evaluators metrics.py:1048-1111)")
-    parser.add_argument("--protocol", default="iPER",
+    parser.add_argument("--protocol", default=None,
                         help="protocol registry name: iPER | fashionvideo"
-                             " | MotionSynthetic | YoutubeDancer18")
+                             " | MotionSynthetic | YoutubeDancer18 | "
+                             "iPER_Appearance_Transfer | "
+                             "MotionSynthetic_Novel_View | iPER_Novel_View"
+                             " (default: the task's canonical protocol)")
+    parser.add_argument("--task", default="imitate",
+                        choices=("imitate", "swap", "view"),
+                        help="which headline task to evaluate: imitate "
+                             "(motion imitation, paired+unpaired), swap "
+                             "(appearance transfer over vid_name_pairs, "
+                             "paired), view (novel-view synthesis over "
+                             "the orbit range, paired)")
+    parser.add_argument("--swap_part", default="body",
+                        help="part group swapped in --task swap "
+                             "(swapper PART_IDS: body | all)")
     extra, _ = parser.parse_known_args(argv)
+    if extra.protocol is None:
+        extra.protocol = {"imitate": "iPER",
+                          "swap": "iPER_Appearance_Transfer",
+                          "view": "MotionSynthetic_Novel_View"}[extra.task]
 
     lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn = build_extractors(
         extra.lpips_path, extra.inception_path, extra.sphere_path,
@@ -444,20 +681,38 @@ def main(argv=None):
         else:
             print("evaluate: yolo cfg/weights not found; reid metrics "
                   "embed full frames")
-    results = evaluate_protocol(
-        cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
-        extra.num_sources, extra.cross_imitation,
-        lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn,
-        extra.save_preds, prior_poses_path=extra.prior_poses,
-        sspe=extra.sspe, protocol_name=extra.protocol, mtcnn=mtcnn,
-        yolo=yolo)
+    if extra.task == "swap":
+        results = evaluate_at_protocol(
+            cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
+            extra.num_sources, lpips_apply, face_fn, reid_fn,
+            extra.save_preds, protocol_name=extra.protocol,
+            target_part=extra.swap_part)
+    elif extra.task == "view":
+        results = evaluate_view_protocol(
+            cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
+            extra.num_sources, lpips_apply, face_fn, reid_fn,
+            extra.save_preds, protocol_name=extra.protocol,
+            prior_poses_path=extra.prior_poses)
+    else:
+        results = evaluate_protocol(
+            cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
+            extra.num_sources, extra.cross_imitation,
+            lpips_apply, inception_fn, face_fn, reid_fn, pcb_fn,
+            extra.save_preds, prior_poses_path=extra.prior_poses,
+            sspe=extra.sspe, protocol_name=extra.protocol, mtcnn=mtcnn,
+            yolo=yolo)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
-    save_results(os.path.join(cfg.output_dir, "results.txt"), results)
+    if extra.task == "imitate":
+        save_results(os.path.join(cfg.output_dir, "results.txt"), results)
+    else:
+        save_si_results(os.path.join(cfg.output_dir, "results.txt"),
+                        results)
     with open(os.path.join(cfg.output_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({k: results[k] for k in
-                      ("self_imitation", "cross_imitation")}))
+                      ("self_imitation", "cross_imitation")
+                      if k in results}))
     return results
 
 

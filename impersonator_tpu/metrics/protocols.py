@@ -177,6 +177,95 @@ class IPERProtocol(Protocol):
     """iPER evaluation protocol (protocols/iPER.py)."""
 
 
+@dataclass
+class ATUnit:
+    """One appearance-transfer pair: swap ``app_vid``'s clothes onto
+    ``src_vid``'s identity, drive with ``app_vid``'s motion, and score
+    predictions against ``app_vid``'s real frames (the AT evaluator's
+    "self-imitation-scored swap": every pair in the real
+    iPER_AT_protocol.json couples two outfits of the SAME actor, so the
+    composite is reconstructable — evaluators/appearance_transfer.py:
+    124-150 scores swap() output paired against motion_infos frames)."""
+
+    src_vid: str
+    app_vid: str
+    src_paths: List[str]                  # identity source frames
+    app_paths: List[str]                  # appearance provider frames
+    motion_paths: List[str]               # drive frames == paired gt refs
+    src_smpls: Optional[np.ndarray] = None
+    app_smpls: Optional[np.ndarray] = None
+    motion_smpls: Optional[np.ndarray] = None
+
+
+class IPERATProtocol(Protocol):
+    """Appearance-transfer protocol over the REAL
+    ``iPER_AT_protocol.json`` schema (thirdparty/his_evaluators/data/):
+
+        {"video_infos": {vid: {"source", "view angle", "s_n", "flag"}},
+         "vid_name_pairs": [[src_vid, app_vid], ...]}
+
+    The reference ships the JSON and the evaluator surface
+    (evaluators/appearance_transfer.py:109-167) but no Protocol parser —
+    ``iPER_Appearance_Transfer`` is not in protocols/__init__.py's
+    VALID_DATASET, so the upstream evaluator is dead code. This is the
+    working equivalent: one :class:`ATUnit` per vid_name_pair, source
+    frames from the src video's ``s_n`` table, appearance frames from
+    the app video's ``s_n`` table, and motion = the app video's ``flag``
+    range (end-inclusive), whose real frames double as the paired refs.
+    """
+
+    def __init__(self, data_dir: str, protocol_file: str,
+                 images_folder: str = "images_HD",
+                 smpls_folder: str = "smpls"):
+        self.data_dir = data_dir
+        self.images_folder = images_folder
+        self.smpls_folder = smpls_folder
+        self._num_sources = 1
+        self._load_smpls = False
+        self._smpl_cache = {}
+
+        with open(protocol_file) as f:
+            raw = json.load(f)
+        self.video_infos = raw["video_infos"]
+        self.pairs = [tuple(p) for p in raw["vid_name_pairs"]]
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _source_sel(self, vid: str):
+        """Frame names/ids from the vid's s_n table for _num_sources
+        (iPER.py:137-138: ids parse from the file stem)."""
+        s_n = self.video_infos[vid]["s_n"]
+        key = str(self._num_sources)
+        if key not in s_n:
+            key = min(s_n, key=lambda k: abs(int(k) - self._num_sources))
+        return [int(t.split(".")[0].split("_")[-1]) for t in s_n[key]]
+
+    def __getitem__(self, idx) -> ATUnit:
+        src_vid, app_vid = self.pairs[idx]
+        src_frames = self.frames(src_vid)
+        app_frames = self.frames(app_vid)
+        src_ids = self._source_sel(src_vid)
+        app_ids = self._source_sel(app_vid)
+        b, e = self.video_infos[app_vid]["flag"]
+
+        unit = ATUnit(
+            src_vid=src_vid, app_vid=app_vid,
+            src_paths=[src_frames[i] for i in src_ids],
+            app_paths=[app_frames[i] for i in app_ids],
+            motion_paths=app_frames[b:e + 1],
+        )
+        if self._load_smpls:
+            src = self.smpls(src_vid)
+            app = self.smpls(app_vid)
+            if src is not None:
+                unit.src_smpls = src[src_ids]
+            if app is not None:
+                unit.app_smpls = app[app_ids]
+                unit.motion_smpls = app[b:e + 1]
+        return unit
+
+
 class ProcessedDirProtocol(Protocol):
     """Shared layout of the non-iPER protocols (fashionvideo.py:76-80,
     206-207; MotionSynthetic.py:77, 206; YoutubeDancer18.py:100, 231):
@@ -229,11 +318,32 @@ class YoutubeDancer18Protocol(ProcessedDirProtocol):
     """Youtube-Dancer-18 protocol (protocols/YoutubeDancer18.py:35-281)."""
 
 
+class MSNovelViewProtocol(MotionSyntheticProtocol):
+    """MotionSynthetic novel-view protocol: the REAL
+    ``MS_novel_view_protocol.json`` is the MS protocol schema with the
+    self/cross ranges restricted to each clip's camera-orbit segment
+    (every entry carries ``"novel view": true``); the evaluator scores
+    view synthesis as self-imitation over that segment
+    (evaluators/novel_view_synthesize.py:141-165 — its
+    ``write_gt_masked_images`` mask path is disabled upstream at
+    :157-158, so refs are the raw frames, same as here). Layout and
+    smpls match MotionSynthetic; gt view smpls differ from the source
+    only in cam + global orientation."""
+
+
 PROTOCOLS = {
     "iPER": IPERProtocol,
     "fashionvideo": FashionVideoProtocol,
     "MotionSynthetic": MotionSyntheticProtocol,
     "YoutubeDancer18": YoutubeDancer18Protocol,
+    # appearance-transfer + novel-view variants (the reference's other
+    # two headline tasks; appearance_transfer.py:203-213,
+    # novel_view_synthesize.py:205-214)
+    "iPER_Appearance_Transfer": IPERATProtocol,
+    "MotionSynthetic_Novel_View": MSNovelViewProtocol,
+    # the reference NV evaluator also names an iPER novel-view variant
+    # (novel_view_synthesize.py:209-210); its layout is plain iPER
+    "iPER_Novel_View": IPERProtocol,
 }
 
 

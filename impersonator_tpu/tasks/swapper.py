@@ -134,6 +134,20 @@ class Swapper:
             partial(swap_core, renderer=self.renderer,
                     front_warp=cfg.front_warp, compute_dtype=compute_dtype),
             static_argnames=("selected_ids", "left_ids"))
+        # motion drive for appearance-transfer evaluation: after a swap,
+        # the composite re-personalizes and imitates the drive clip
+        # (evaluators/appearance_transfer.py:29-63 contracts
+        # swap(src, app, motion) -> one pred per motion frame)
+        _imit_swap = jax.jit(
+            partial(imitator_mod.imitate_with_swap_core,
+                    renderer=self.renderer, parents=self.parents,
+                    front_warp=cfg.front_warp, compute_dtype=compute_dtype),
+            static_argnames=("cam_strategy",))
+        self._imitate_swap_jit = \
+            lambda src_state, tgt, first_cam, cam_strategy: _imit_swap(
+                self.nets, smpl_params=self.smpl_params,
+                src_state=src_state, tgt_smpls=tgt, first_cam=first_cam,
+                cam_strategy=cam_strategy)
 
     def personalize(self, img: np.ndarray, smpl=None):
         """img: (S, S, 3) in [-1, 1]. Adds the 'par' part encoding on top
@@ -170,3 +184,28 @@ class Swapper:
                               tgt_state=tgt_info, left_faces=left_faces,
                               selected_ids=tuple(selected),
                               left_ids=tuple(left))
+
+    def imitate_by_smpls(self, src_state, tgt_smpls,
+                         cam_strategy: str = "copy", batch: int = 8):
+        """Drive a (re-)personalized state through a motion clip.
+
+        The appearance-transfer evaluation chain (see
+        :mod:`impersonator_tpu.cli.evaluate` ``--task swap``): swap the
+        appearance onto the source at the source pose, re-personalize on
+        the composite via :meth:`personalize`, then imitate the drive
+        smpls. Fixed-size padded batches through one compiled program,
+        same staging discipline as ``Imitator.inference_by_smpls``.
+        """
+        smpls = np.asarray(tgt_smpls, np.float32)
+        n = smpls.shape[0]
+        pad = (-n) % batch
+        if pad:
+            smpls = np.concatenate([smpls, np.repeat(smpls[-1:], pad, 0)])
+        chunks = [jnp.asarray(smpls[i:i + batch])
+                  for i in range(0, n + pad, batch)]
+        first_cam = chunks[0][0:1, 0:3]
+        outs = [self._imitate_swap_jit(src_state, c, first_cam,
+                                       cam_strategy=cam_strategy)
+                for c in chunks]
+        out = jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
+        return out[:n]

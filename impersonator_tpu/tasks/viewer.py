@@ -135,6 +135,50 @@ class Viewer:
         self.src_info["verts"] = det["verts"]
         return metrics
 
+    def view_by_smpls(self, tgt_smpls, batch: int = 8):
+        """Protocol-driven novel views (``--task view`` in
+        :mod:`impersonator_tpu.cli.evaluate`).
+
+        Each gt view smpl in the novel-view protocols shares the
+        source's body pose/shape and differs in global orientation (the
+        camera orbit, MS_novel_view_protocol.json "view angle"). SMPL's
+        root transform rotates about the shaped root joint j0
+        (ops/smpl.py:118), so the view is the cached source verts under
+        ``v' = M (v - j0) + j0`` with ``M = R_tgt @ R_src^T``; in
+        view_core's row-vector convention (``verts @ R + t``,
+        viewer.py:264-271 bmm(X, R)) that is ``R = M^T`` and
+        ``t = j0 - j0 @ R``. Projection keeps the SOURCE camera — the
+        reference viewer never re-fits cams per view, so a protocol
+        whose gt cams drift from the source scores that drift.
+
+        tgt_smpls: (N, 85). Returns preds (N, S, S, 3) in [-1, 1].
+        """
+        assert self.src_info is not None, "call personalize() first"
+        smpls = np.asarray(tgt_smpls, np.float32)
+        n = smpls.shape[0]
+
+        r_src = smpl_ops.batch_rodrigues(
+            jnp.asarray(self.src_info["theta"])[0, 3:6])        # (3, 3)
+        r_tgt = smpl_ops.batch_rodrigues(
+            jnp.asarray(smpls[:, 3:6]))                         # (N, 3, 3)
+        m = jnp.einsum("nab,cb->nac", r_tgt, r_src)             # R_t R_s^T
+        rots = jnp.swapaxes(m, 1, 2)                            # row conv.
+        p = self.smpl_params
+        v_shaped = (jnp.matmul(self.src_info["shape"], p.shapedirs)
+                    .reshape(1, -1, 3) + p.v_template)
+        j0 = jnp.einsum("nvc,v->nc", v_shaped, p.j_regressor[:, 0])[0]
+        trans = j0 - jnp.einsum("c,ncd->nd", j0, rots)
+
+        pad = (-n) % batch
+        if pad:
+            rots = jnp.concatenate([rots, jnp.repeat(rots[-1:], pad, 0)])
+            trans = jnp.concatenate([trans, jnp.repeat(trans[-1:], pad, 0)])
+        outs = [self._view_jit(self.src_info, rots[i:i + batch],
+                               trans[i:i + batch])
+                for i in range(0, n + pad, batch)]
+        out = jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
+        return out[:n]
+
     def view_sweep(self, yaws, t=(0.0, 0.0, 0.0)):
         """Batched yaw sweep (run_view.py:58-74): all angles in one call."""
         rots = jnp.stack([euler_to_matrix(jnp.asarray([0.0, y, 0.0]))
