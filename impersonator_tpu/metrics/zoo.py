@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from impersonator_tpu.models.layers import BatchNorm, Conv, max_pool
+from impersonator_tpu.models.layers import (BatchNorm, Conv, max_pool,
+                                            max_pool_ceil)
 
 # --------------------------------------------------------------------------
 # LPIPS: AlexNet feature slices + 1x1 lin heads
@@ -64,19 +65,110 @@ class AlexFeatures(nn.Module):
         return feats
 
 
+# torchvision vgg16.features conv indices + channels; LPIPS vgg slices
+# end after relu{1_2,2_2,3_3,4_3,5_3} (pretrained_networks.py vgg16,
+# slices [0:4)[4:9)[9:16)[16:23)[23:30)); 2x2/2 pools open slices 2-5.
+_VGG16_SLICES = (
+    ((0, 64), (2, 64)),
+    ((5, 128), (7, 128)),
+    ((10, 256), (12, 256), (14, 256)),
+    ((17, 512), (19, 512), (21, 512)),
+    ((24, 512), (26, 512), (28, 512)),
+)
+VGG16_CHNS = (64, 128, 256, 512, 512)
+
+
+class VGG16Features(nn.Module):
+    """torchvision vgg16.features split into the 5 LPIPS slices. Conv
+    params are named ``conv{torch features idx}`` so the converter maps
+    the released state_dict keys one-to-one."""
+
+    @nn.compact
+    def __call__(self, x) -> list:
+        feats = []
+        for si, convs in enumerate(_VGG16_SLICES):
+            if si > 0:
+                x = max_pool(x, 2, 2)
+            for ti, ch in convs:
+                x = jax.nn.relu(Conv(ch, 3, 1, 1, name=f"conv{ti}")(x))
+            feats.append(x)
+        return feats
+
+
+class Fire(nn.Module):
+    """torchvision squeezenet Fire: 1x1 squeeze -> relu -> parallel
+    1x1/3x3 expands -> relu -> channel concat."""
+
+    squeeze_ch: int
+    expand_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = jax.nn.relu(Conv(self.squeeze_ch, 1, name="squeeze")(x))
+        e1 = jax.nn.relu(Conv(self.expand_ch, 1, name="expand1x1")(s))
+        e3 = jax.nn.relu(Conv(self.expand_ch, 3, 1, 1, name="expand3x3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+# squeezenet1_1 features: (torch idx, squeeze_ch, expand_ch) per Fire;
+# LPIPS squeeze slices (pretrained_networks.py squeezenet):
+# [0:2)[2:5)[5:8)[8:10)[10:11)[11:12)[12:13) — 3x3/2 ceil-mode pools at
+# torch idx 2/5/8 open slices 2-4.
+_SQUEEZE_FIRES = ((3, 16, 64), (4, 16, 64), (6, 32, 128), (7, 32, 128),
+                  (9, 48, 192), (10, 48, 192), (11, 64, 256),
+                  (12, 64, 256))
+_SQUEEZE_SLICE_ENDS = (4, 7, 9, 10, 11, 12)   # last fire idx per slice 2+
+SQUEEZE_CHNS = (64, 128, 256, 384, 384, 512, 512)
+
+
+class SqueezeFeatures(nn.Module):
+    """torchvision squeezenet1_1.features split into the 7 LPIPS
+    slices. The stem conv is ``conv0``; Fires are ``fire{torch idx}``."""
+
+    @nn.compact
+    def __call__(self, x) -> list:
+        feats = []
+        x = jax.nn.relu(Conv(64, 3, 2, 0, name="conv0")(x))
+        feats.append(x)
+        prev_end = 2   # torch idx of the first un-consumed feature
+        for end in _SQUEEZE_SLICE_ENDS:
+            for ti, sq, ex in _SQUEEZE_FIRES:
+                if prev_end <= ti <= end:
+                    if ti in (3, 6, 9):   # pool precedes fires 3/6/9
+                        x = max_pool_ceil(x, 3, 2)
+                    x = Fire(sq, ex, name=f"fire{ti}")(x)
+            prev_end = end + 1
+            feats.append(x)
+        return feats
+
+
+_LPIPS_NETS = {
+    "alex": (AlexFeatures, LPIPS_CHNS),
+    "vgg": (VGG16Features, VGG16_CHNS),
+    "squeeze": (SqueezeFeatures, SQUEEZE_CHNS),
+}
+
+
 class LPIPS(nn.Module):
-    """net-lin/alex LPIPS distance (PNetLin.forward, v0.1 semantics):
-    scale inputs, extract alex features, unit-normalize over channels,
+    """net-lin LPIPS distance (PNetLin.forward, v0.1 semantics): scale
+    inputs, extract backbone features, unit-normalize over channels,
     squared diff, learned per-channel 1x1 lin head, spatial mean, sum
-    over the 5 layers. Returns (B,) distances for (B,H,W,3) in [-1,1]."""
+    over the slices. ``net`` picks the backbone — alex (the reference
+    evaluator's choice, metrics.py:211), vgg (vgg16) or squeeze
+    (squeezenet1_1); the released lin heads for all three ship in the
+    reference tree (metrics/lpips/weights/v0.{0,1}/). Returns (B,)
+    distances for (B,H,W,3) in [-1,1]."""
+
+    net: str = "alex"
 
     @nn.compact
     def __call__(self, a, b) -> jax.Array:
+        backbone_cls, chns = _LPIPS_NETS[self.net]
         shift = jnp.asarray(_LPIPS_SHIFT, a.dtype)
         scale = jnp.asarray(_LPIPS_SCALE, a.dtype)
-        alex = AlexFeatures(name="alex")
-        fa = alex((a - shift) / scale)
-        fb = alex((b - shift) / scale)
+        backbone = backbone_cls(name=self.net)
+        fa = backbone((a - shift) / scale)
+        fb = backbone((b - shift) / scale)
         total = 0.0
         for i, (x, y) in enumerate(zip(fa, fb)):
             # util.normalize_tensor: x / (||x||_C + 1e-10)
@@ -85,7 +177,7 @@ class LPIPS(nn.Module):
             d = (xn - yn) ** 2
             # NetLinLayer: dropout (inactive at eval) + 1x1 conv, no bias
             w = self.param(f"lin{i}", nn.initializers.constant(
-                1.0 / LPIPS_CHNS[i]), (LPIPS_CHNS[i],))
+                1.0 / chns[i]), (chns[i],))
             total = total + jnp.mean(jnp.einsum("bhwc,c->bhw", d, w),
                                      axis=(1, 2))
         return total

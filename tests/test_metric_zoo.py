@@ -51,6 +51,91 @@ def test_lpips_converted_weights_match_torch(rng):
     np.testing.assert_allclose(np.asarray(d0), 0.0, atol=1e-6)
 
 
+@pytest.mark.parametrize("net,make_sd,fwd,chns", [
+    ("vgg", "make_vgg16_sd", "vgg16_forward", (64, 128, 256, 512, 512)),
+    ("squeeze", "make_squeeze_sd", "squeeze_forward",
+     (64, 128, 256, 384, 384, 512, 512)),
+])
+def test_lpips_other_backbones_match_torch(rng, net, make_sd, fwd, chns):
+    """LPIPS vgg16 / squeezenet1_1 variants (pretrained_networks.py
+    vgg16/squeezenet slice layouts) against the torch oracle — the
+    reference ships released lin heads for all three backbones
+    (metrics/lpips/weights/v0.{0,1}/{alex,vgg,squeeze}.pth)."""
+    backbone_sd = getattr(torch_ref, make_sd)(rng)
+    lin_sd = torch_ref.make_lpips_lin_sd(rng, chns=chns)
+    tree = cw.convert_lpips(lin_sd, backbone_sd, net=net)
+
+    # 65: odd size exercises the ceil-mode pools in the squeeze path
+    a = rng.uniform(-1, 1, (2, 65, 65, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 65, 65, 3)).astype(np.float32)
+    d_j = LPIPS(net=net).apply(tree, jnp.asarray(a), jnp.asarray(b))
+    d_t = torch_ref.lpips_forward(
+        backbone_sd, lin_sd,
+        torch.from_numpy(a.transpose(0, 3, 1, 2)),
+        torch.from_numpy(b.transpose(0, 3, 1, 2)), net=net)
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=2e-5)
+    d0 = LPIPS(net=net).apply(tree, jnp.asarray(a), jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(d0), 0.0, atol=1e-6)
+
+
+REAL_LPIPS_DIR = ("/root/reference/thirdparty/his_evaluators/"
+                  "his_evaluators/metrics/lpips/weights")
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REAL_LPIPS_DIR),
+                    reason="reference tree (real lpips weights) absent")
+@pytest.mark.parametrize("version,net,chns", [
+    ("v0.1", "vgg", (64, 128, 256, 512, 512)),
+    ("v0.1", "squeeze", (64, 128, 256, 384, 384, 512, 512)),
+    ("v0.0", "alex", (64, 192, 384, 256, 256)),
+    ("v0.0", "vgg", (64, 128, 256, 512, 512)),
+    ("v0.0", "squeeze", (64, 128, 256, 384, 384, 512, 512)),
+])
+def test_lpips_all_released_linheads_convert(rng, version, net, chns):
+    """Every remaining real LPIPS weight file the environment ships
+    (VERDICT r4 #7) converts and scores through the matching backbone:
+    the converted heads must equal the released tensors exactly, and
+    distances must match the torch oracle sharing one random backbone.
+    v0.1 alex is covered (with its in-tree shipped msgpack) by
+    test_lpips_real_released_linheads."""
+    import os
+    path = os.path.join(REAL_LPIPS_DIR, version, f"{net}.pth")
+    lin_sd = torch.load(path, map_location="cpu")
+    assert set(lin_sd) == {f"lin{i}.model.1.weight"
+                           for i in range(len(chns))}
+    make_sd = {"alex": torch_ref.make_alexnet_sd,
+               "vgg": torch_ref.make_vgg16_sd,
+               "squeeze": torch_ref.make_squeeze_sd}[net]
+    backbone_sd = make_sd(rng)
+    tree = cw.convert_lpips(lin_sd, backbone_sd, net=net)
+    for i, c in enumerate(chns):
+        assert tree["params"][f"lin{i}"].shape == (c,)
+        np.testing.assert_array_equal(
+            tree["params"][f"lin{i}"],
+            lin_sd[f"lin{i}.model.1.weight"].numpy().reshape(-1))
+
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    d_j = LPIPS(net=net).apply(tree, jnp.asarray(a), jnp.asarray(b))
+    d_t = torch_ref.lpips_forward(
+        backbone_sd, lin_sd,
+        torch.from_numpy(a.transpose(0, 3, 1, 2)),
+        torch.from_numpy(b.transpose(0, 3, 1, 2)), net=net)
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=2e-5)
+
+    # the in-repo converted artifact must match a fresh conversion
+    repo_msgpack = os.path.join(
+        os.path.dirname(__file__), "..", "impersonator_tpu", "weights",
+        f"lpips_{version.replace('.', '')}_{net}_lin.msgpack")
+    assert os.path.exists(repo_msgpack), repo_msgpack
+    from flax import serialization
+    with open(repo_msgpack, "rb") as f:
+        shipped = serialization.msgpack_restore(f.read())
+    for i in range(len(chns)):
+        np.testing.assert_array_equal(
+            shipped["params"][f"lin{i}"], tree["params"][f"lin{i}"])
+
+
 REAL_LPIPS_ALEX = ("/root/reference/thirdparty/his_evaluators/"
                    "his_evaluators/metrics/lpips/weights/v0.1/alex.pth")
 

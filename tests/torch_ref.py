@@ -217,12 +217,109 @@ def alex_forward(sd, x):
     return feats
 
 
-def lpips_forward(alex_sd, lin_sd, a, b):
-    """PNetLin v0.1 forward (networks_basic.py:122-168), net='alex'."""
+# torchvision vgg16.features conv layout: (features idx, in, out); all
+# k3/s1/p1, 2x2/2 maxpools at idx 4/9/16/23 (LPIPS slice boundaries,
+# pretrained_networks.py vgg16)
+_VGG16_SPEC = [
+    (0, 3, 64), (2, 64, 64),
+    (5, 64, 128), (7, 128, 128),
+    (10, 128, 256), (12, 256, 256), (14, 256, 256),
+    (17, 256, 512), (19, 512, 512), (21, 512, 512),
+    (24, 512, 512), (26, 512, 512), (28, 512, 512),
+]
+_VGG16_SLICE_LAST = {2, 7, 14, 21, 28}   # relu outputs LPIPS consumes
+_VGG16_POOL_BEFORE = {5, 10, 17, 24}
+
+# squeezenet1_1 Fires: (features idx, in, squeeze, expand); stem conv at
+# idx 0 (3->64, k3/s2/p0); 3x3/2 ceil-mode pools before fires 3/6/9
+_SQUEEZE_FIRES_T = [(3, 64, 16, 64), (4, 128, 16, 64), (6, 128, 32, 128),
+                    (7, 256, 32, 128), (9, 256, 48, 192),
+                    (10, 384, 48, 192), (11, 384, 64, 256),
+                    (12, 512, 64, 256)]
+_SQUEEZE_SLICE_LAST = {0, 4, 7, 9, 10, 11, 12}
+
+
+def make_vgg16_sd(rng):
+    """torchvision vgg16.features conv weights (random)."""
+    sd = {}
+    for ti, cin, cout in _VGG16_SPEC:
+        sd[f"features.{ti}.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.05)
+        sd[f"features.{ti}.bias"] = torch.from_numpy(
+            rng.standard_normal((cout,)).astype(np.float32) * 0.05)
+    return sd
+
+
+def make_squeeze_sd(rng):
+    """torchvision squeezenet1_1.features weights (random)."""
+    sd = {
+        "features.0.weight": torch.from_numpy(
+            rng.standard_normal((64, 3, 3, 3)).astype(np.float32) * 0.05),
+        "features.0.bias": torch.from_numpy(
+            rng.standard_normal((64,)).astype(np.float32) * 0.05),
+    }
+    for ti, cin, sq, ex in _SQUEEZE_FIRES_T:
+        for sub, ci, co, k in (("squeeze", cin, sq, 1),
+                               ("expand1x1", sq, ex, 1),
+                               ("expand3x3", sq, ex, 3)):
+            sd[f"features.{ti}.{sub}.weight"] = torch.from_numpy(
+                rng.standard_normal((co, ci, k, k)).astype(np.float32)
+                * 0.05)
+            sd[f"features.{ti}.{sub}.bias"] = torch.from_numpy(
+                rng.standard_normal((co,)).astype(np.float32) * 0.05)
+    return sd
+
+
+def make_lpips_lin_sd(rng, chns=(64, 192, 384, 256, 256)):
+    """Official LPIPS lin-head naming: lin{i}.model.1.weight. Default
+    chns = alex; pass the vgg (64,128,256,512,512) or squeeze
+    (64,128,256,384,384,512,512) channel lists for those nets."""
+    sd = {}
+    for i, c in enumerate(chns):
+        sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+            np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32) * 0.1)
+    return sd
+
+
+def vgg16_forward(sd, x):
+    """LPIPS vgg16 slices (pretrained_networks.py vgg16)."""
+    feats = []
+    for ti, _, _ in _VGG16_SPEC:
+        if ti in _VGG16_POOL_BEFORE:
+            x = F.max_pool2d(x, 2, 2)
+        x = F.relu(_conv(sd, f"features.{ti}", x, stride=1, padding=1))
+        if ti in _VGG16_SLICE_LAST:
+            feats.append(x)
+    return feats
+
+
+def squeeze_forward(sd, x):
+    """LPIPS squeezenet1_1 slices (pretrained_networks.py squeezenet)."""
+    x = F.relu(_conv(sd, "features.0", x, stride=2, padding=0))
+    feats = [x]
+    for ti, _, _, _ in _SQUEEZE_FIRES_T:
+        if ti in (3, 6, 9):
+            x = F.max_pool2d(x, 3, 2, ceil_mode=True)
+        s = F.relu(_conv(sd, f"features.{ti}.squeeze", x))
+        e1 = F.relu(_conv(sd, f"features.{ti}.expand1x1", s))
+        e3 = F.relu(_conv(sd, f"features.{ti}.expand3x3", s, padding=1))
+        x = torch.cat([e1, e3], dim=1)
+        if ti in _SQUEEZE_SLICE_LAST:
+            feats.append(x)
+    return feats
+
+
+_LPIPS_FORWARDS = {"alex": alex_forward, "vgg": vgg16_forward,
+                   "squeeze": squeeze_forward}
+
+
+def lpips_forward(backbone_sd, lin_sd, a, b, net="alex"):
+    """PNetLin v0.1 forward (networks_basic.py:122-168)."""
     shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
     scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
-    fa = alex_forward(alex_sd, (a - shift) / scale)
-    fb = alex_forward(alex_sd, (b - shift) / scale)
+    fwd = _LPIPS_FORWARDS[net]
+    fa = fwd(backbone_sd, (a - shift) / scale)
+    fb = fwd(backbone_sd, (b - shift) / scale)
     val = 0.0
     for i, (x, y) in enumerate(zip(fa, fb)):
         xn = x / (torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True)) + 1e-10)

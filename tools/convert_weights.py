@@ -428,17 +428,58 @@ def convert_alexnet(sd) -> dict:
     return {"params": params}
 
 
-def convert_lpips(lin_sd, alex_sd=None) -> dict:
-    """Official LPIPS v0.1 alex.pth (lin{i}.model.1.weight) + torchvision
-    alexnet -> metrics.zoo.LPIPS params. The lin heads are (1,C,1,1) 1x1
-    convs without bias (networks_basic.py:205-212) -> flattened (C,)."""
+def convert_vgg16_features(sd) -> dict:
+    """torchvision vgg16 state_dict -> metrics.zoo.VGG16Features params
+    (the 13 feature convs used by the LPIPS vgg slices)."""
+    from impersonator_tpu.metrics.zoo import _VGG16_SLICES
+    params = {}
+    for convs in _VGG16_SLICES:
+        for ti, _ in convs:
+            _set(params, f"conv{ti}/conv/kernel",
+                 conv_w(sd[f"features.{ti}.weight"]))
+            _set(params, f"conv{ti}/conv/bias", _np(sd[f"features.{ti}.bias"]))
+    return {"params": params}
+
+
+def convert_squeeze_features(sd) -> dict:
+    """torchvision squeezenet1_1 state_dict -> metrics.zoo.
+    SqueezeFeatures params (stem conv + the 8 Fire modules)."""
+    from impersonator_tpu.metrics.zoo import _SQUEEZE_FIRES
+    params = {}
+    _set(params, "conv0/conv/kernel", conv_w(sd["features.0.weight"]))
+    _set(params, "conv0/conv/bias", _np(sd["features.0.bias"]))
+    for ti, _, _ in _SQUEEZE_FIRES:
+        for sub in ("squeeze", "expand1x1", "expand3x3"):
+            _set(params, f"fire{ti}/{sub}/conv/kernel",
+                 conv_w(sd[f"features.{ti}.{sub}.weight"]))
+            _set(params, f"fire{ti}/{sub}/conv/bias",
+                 _np(sd[f"features.{ti}.{sub}.bias"]))
+    return {"params": params}
+
+
+_LPIPS_BACKBONE_CONVERTERS = {
+    "alex": lambda sd: convert_alexnet(sd)["params"],
+    "vgg": lambda sd: convert_vgg16_features(sd)["params"],
+    "squeeze": lambda sd: convert_squeeze_features(sd)["params"],
+}
+
+
+def convert_lpips(lin_sd, backbone_sd=None, net: str = "alex") -> dict:
+    """Official LPIPS {alex,vgg,squeeze}.pth (lin{i}.model.1.weight, both
+    v0.0 and v0.1 namings) + the matching torchvision backbone ->
+    metrics.zoo.LPIPS(net=...) params. The lin heads are (1,C,1,1) 1x1
+    convs without bias (networks_basic.py:205-212) -> flattened (C,);
+    head count follows the file (5 for alex/vgg, 7 for squeeze)."""
     lin_sd = _strip_module(lin_sd)
     params = {}
-    for i in range(5):
+    i = 0
+    while f"lin{i}.model.1.weight" in lin_sd:
         _set(params, f"lin{i}",
              _np(lin_sd[f"lin{i}.model.1.weight"]).reshape(-1))
-    if alex_sd is not None:
-        params["alex"] = convert_alexnet(alex_sd)["params"]
+        i += 1
+    assert i in (5, 7), f"unexpected lin head count {i}"
+    if backbone_sd is not None:
+        params[net] = _LPIPS_BACKBONE_CONVERTERS[net](backbone_sd)
     return {"params": params}
 
 
@@ -560,6 +601,8 @@ CONVERTERS = {
     "pcb": convert_pcb,
     "facenet_ir": convert_facenet_ir,
     "alexnet": convert_alexnet,
+    "vgg16_features": convert_vgg16_features,
+    "squeeze_features": convert_squeeze_features,
     "lpips": convert_lpips,
     "inception": convert_inception,
     "mtcnn": convert_mtcnn,
@@ -572,8 +615,12 @@ def main():
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--src2", default=None,
-                    help="lpips only: torchvision alexnet .pth to embed "
-                         "as the backbone")
+                    help="lpips only: torchvision backbone .pth to embed "
+                         "(alexnet / vgg16 / squeezenet1_1 per --net)")
+    ap.add_argument("--net", default="alex",
+                    choices=("alex", "vgg", "squeeze"),
+                    help="lpips only: which backbone the lin heads "
+                         "belong to")
     args = ap.parse_args()
 
     import torch
@@ -597,9 +644,10 @@ def main():
         import os
         tree = convert_mtcnn({n: load(os.path.join(args.src, f"{n}.pt"))
                               for n in ("pnet", "rnet", "onet")})
-    elif args.kind == "lpips" and args.src2:
+    elif args.kind == "lpips":
         sd = load(args.src)
-        tree = convert_lpips(sd, load(args.src2))
+        tree = convert_lpips(sd, load(args.src2) if args.src2 else None,
+                             net=args.net)
     else:
         sd = load(args.src)
         tree = CONVERTERS[args.kind](sd)
