@@ -267,7 +267,15 @@ def imitate_from_flow(nets: "ImitatorNets", renderer: SMPLRenderer,
     # strided scalar reads (profiled via xplane). The patched variant
     # fetches all four bilinear corners in ONE row gather (C=3 here, so
     # the 4x patch table is cheap) — see ops/sampler.grid_sample_patched.
-    tsf_img = grid_sample_patched(src_state["img"], t)
+    # Under a bf16 compute dtype the whole warp runs in bf16: the r5
+    # xplane roofline showed the f32 gather + its layout copy + lerp at
+    # ~8% of the step, all pure HBM traffic that halves in bf16 (the
+    # generator consumed the result in bf16 anyway).
+    src_img = (src_state["img"].astype(compute_dtype)
+               if compute_dtype is not None else src_state["img"])
+    tsf_img = grid_sample_patched(src_img, t)
+    if compute_dtype is not None:
+        cond = cond.astype(compute_dtype)
     tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
 
     enc, res = src_state["feats"]

@@ -71,11 +71,18 @@ def swap_core(nets, renderer: SMPLRenderer, src_state, tgt_state,
     t21 = renderer.cal_bc_transform(tsf_f2p, src_state["fim"], src_state["wim"])
     t21 = jnp.clip(t21, -2.0, 2.0)
 
-    tsf21 = grid_sample_patched(tgt_state["img"], t21)
-    tsf11 = grid_sample_patched(src_state["img"], t11)
+    # bf16 warp under a bf16 compute dtype (see imitate_from_flow)
+    tgt_img, src_img, cond = (tgt_state["img"], src_state["img"],
+                              src_state["cond"])
+    if compute_dtype is not None:
+        tgt_img = tgt_img.astype(compute_dtype)
+        src_img = src_img.astype(compute_dtype)
+        cond = cond.astype(compute_dtype)
+    tsf21 = grid_sample_patched(tgt_img, t21)
+    tsf11 = grid_sample_patched(src_img, t11)
     tsf_img = (tsf21 * src_part_mask[..., None].astype(tsf21.dtype)
                + tsf11 * src_left_mask[..., None].astype(tsf11.dtype))
-    tsf_inputs = jnp.concatenate([tsf_img, src_state["cond"]], axis=-1)
+    tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
 
     enc21, res21 = tgt_state["feats"]
     enc11, res11 = src_state["feats"]

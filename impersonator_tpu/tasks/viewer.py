@@ -45,7 +45,12 @@ def view_core(nets, renderer: SMPLRenderer, src_state, rot_mats, trans,
     fim, t = renderer.render_flow(cam, tsf_mesh, src_state["p2verts"])
     cond = renderer.encode_fim(fim)
 
-    tsf_img = grid_sample_patched(src_state["img"], t)
+    # bf16 warp under a bf16 compute dtype (see imitate_from_flow)
+    src_img = (src_state["img"].astype(compute_dtype)
+               if compute_dtype is not None else src_state["img"])
+    tsf_img = grid_sample_patched(src_img, t)
+    if compute_dtype is not None:
+        cond = cond.astype(compute_dtype)
     tsf_inputs = jnp.concatenate([tsf_img, cond], axis=-1)
 
     enc, res = src_state["feats"]

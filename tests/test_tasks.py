@@ -454,3 +454,29 @@ def test_post_tune_swapper_runs(assets):
     metrics = post_tune_swapper(sw, iters=2)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
+
+
+def test_imitate_bf16_warp_close_to_fp32():
+    """The bf16 compute path now runs the WHOLE warp (source-image
+    gather + bilinear lerp) in bf16, not just the generator (r5 roofline:
+    the f32 gather + layout copy were ~8% of the step as pure HBM
+    traffic). Drift vs the f32 path must stay at bf16 noise level."""
+    import dataclasses
+    cfg32 = TestConfig(image_size=S, repeat_num=2,
+                       compute_dtype="float32")
+    assets = A.synthetic_assets()
+    imit32 = I.Imitator(cfg32, assets=assets)
+    imitbf = I.Imitator(dataclasses.replace(cfg32,
+                                            compute_dtype="bfloat16"),
+                        assets=assets, nets=imit32.nets)
+
+    rng = np.random.default_rng(0)
+    src_img = rng.uniform(-1, 1, (S, S, 3)).astype(np.float32)
+    imit32.personalize(src_img, src_smpl=_theta())
+    imitbf.personalize(src_img, src_smpl=_theta())
+    smpls = np.stack([_theta(0.03, i) for i in range(2)])
+    p32 = np.asarray(imit32.inference_by_smpls(smpls, batch=2))
+    pbf = np.asarray(imitbf.inference_by_smpls(smpls, batch=2))
+    diff = np.abs(p32 - pbf)
+    assert np.mean(diff) < 0.03, np.mean(diff)
+    assert np.isfinite(pbf).all()
