@@ -60,10 +60,10 @@ def device_memory_stats() -> dict:
     for dev in jax.devices():
         try:
             ms = dev.memory_stats()
-            stats[str(dev)] = {
-                "bytes_in_use": ms.get("bytes_in_use"),
-                "peak_bytes_in_use": ms.get("peak_bytes_in_use"),
-            }
         except Exception:
-            stats[str(dev)] = None
+            ms = None
+        # some PJRT plugins (axon among them) return None or a non-dict
+        # instead of raising — only record real mappings so callers can
+        # iterate values() without re-checking
+        stats[str(dev)] = dict(ms) if isinstance(ms, dict) else None
     return stats
