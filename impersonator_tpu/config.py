@@ -50,7 +50,12 @@ class BaseConfig:
     model: str = "impersonator_trainer"
     gen_name: str = "impersonator"
     image_size: int = 256
-    batch_size: int = 4
+    # reference default 4 (base_options.py:39) was a 2019 11GB-GPU
+    # memory artifact; 16 is the measured bf16 train-step throughput
+    # knee on v5e (tools/train_sweep.py: 4->20.9, 16->46.4, 32->43.3
+    # samples/s/chip). scripts/train_iPER.sh still pins 4 for
+    # reference-recipe parity.
+    batch_size: int = 16
     tex_size: int = 3
     repeat_num: int = 6
     map_name: str = "uv_seg"
