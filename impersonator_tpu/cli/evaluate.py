@@ -376,7 +376,7 @@ def _hmr_thetas(task, paths, batch: int = 8) -> np.ndarray:
     return np.concatenate(outs, 0)[:n]
 
 
-def _src_frame(cfg, unit_paths, unit_smpls, task):
+def _src_frame(cfg, unit_paths, unit_smpls):
     """Resolve source frame 0 (image resized to cfg.image_size + theta)."""
     img = cv_utils.resize_img_hwc(
         cv_utils.read_img(unit_paths[0]), cfg.image_size)
@@ -391,7 +391,8 @@ def evaluate_at_protocol(cfg: TestConfig, protocol_file: str,
                          lpips_apply=None, face_fn=None, reid_fn=None,
                          save_preds: bool = False,
                          protocol_name: str = "iPER_Appearance_Transfer",
-                         target_part: str = "body") -> dict:
+                         target_part: str = "body",
+                         save_video: bool = False) -> dict:
     """Appearance-transfer evaluation (``--task swap``).
 
     The working equivalent of the reference's (upstream-dead — see
@@ -435,9 +436,9 @@ def evaluate_at_protocol(cfg: TestConfig, protocol_file: str,
         # (demo_swap.py:51 swap_setup; multi-view s_n noted in the
         # imitate leg — this generator personalizes on ONE image)
         src_img, src_smpl = _src_frame(cfg, unit.src_paths,
-                                       unit.src_smpls, swapper)
+                                       unit.src_smpls)
         app_img, app_smpl = _src_frame(cfg, unit.app_paths,
-                                       unit.app_smpls, swapper)
+                                       unit.app_smpls)
         swapper.swap_setup(src_img, app_img, src_smpl, app_smpl)
         if cfg.post_tune:
             from impersonator_tpu.tasks.post_tune import post_tune_swapper
@@ -473,6 +474,25 @@ def evaluate_at_protocol(cfg: TestConfig, protocol_file: str,
         pair_runner.update(preds, refs)
         paired.merge(pair_runner)
         per_pair[tag] = pair_runner.evaluate()
+
+        if save_video:
+            # the AT evaluator's make_video montage:
+            # {src}-to-{app}.mp4 under visual/self_imitation
+            # (appearance_transfer.py:298-341, 343-374)
+            from impersonator_tpu.utils.video import (
+                fuse_source_reference_output, have_ffmpeg)
+            vis_dir = os.path.join(cfg.output_dir, "visual",
+                                   "self_imitation")
+            if have_ffmpeg():
+                os.makedirs(vis_dir, exist_ok=True)
+                name = "{}-to-{}.mp4".format(
+                    unit.src_vid.replace("/", "_"),
+                    unit.app_vid.replace("/", "_"))
+                fuse_source_reference_output(
+                    src_img, refs, preds, os.path.join(vis_dir, name))
+            else:
+                print("evaluate: ffmpeg unavailable; montage mp4 "
+                      "skipped")
 
     return {"self_imitation": paired.evaluate(), "per_video": per_pair,
             "num_si_frames": count}
@@ -527,7 +547,7 @@ def evaluate_view_protocol(cfg: TestConfig, protocol_file: str,
             continue
 
         src_img, src_smpl = _src_frame(cfg, unit.src_paths,
-                                       unit.src_smpls, viewer)
+                                       unit.src_smpls)
         viewer.personalize(src_img, smpl=src_smpl)
         if cfg.post_tune:
             viewer.post_personalize(
@@ -609,6 +629,12 @@ def main(argv=None):
     parser.add_argument("--no-cross_imitation", dest="cross_imitation",
                         action="store_false")
     parser.add_argument("--save_preds", action="store_true")
+    parser.add_argument("--save_video", action="store_true",
+                        help="--task swap only: write the reference AT "
+                             "evaluator's {src}-to-{app}.mp4 montage "
+                             "under visual/self_imitation "
+                             "(appearance_transfer.py:298-374); "
+                             "requires ffmpeg")
     parser.add_argument("--lpips_path", default=None)
     parser.add_argument("--inception_path", default=None)
     parser.add_argument("--sphere_path", default=None)
@@ -686,7 +712,7 @@ def main(argv=None):
             cfg, extra.protocol_file, extra.max_videos, extra.max_frames,
             extra.num_sources, lpips_apply, face_fn, reid_fn,
             extra.save_preds, protocol_name=extra.protocol,
-            target_part=extra.swap_part)
+            target_part=extra.swap_part, save_video=extra.save_video)
     elif extra.task == "view":
         results = evaluate_view_protocol(
             cfg, extra.protocol_file, extra.max_videos, extra.max_frames,

@@ -23,6 +23,12 @@ def _ffmpeg():
     return path
 
 
+def have_ffmpeg() -> bool:
+    """True when the host can encode/extract video at all — callers
+    gate optional montage/mp4 outputs on this instead of crashing."""
+    return shutil.which("ffmpeg") is not None
+
+
 def frames_to_mp4(frames, out_path: str, fps: int = 25) -> str:
     """frames: iterable of (H, W, 3) float [-1,1] or uint8 RGB."""
     frames = list(frames)

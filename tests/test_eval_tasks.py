@@ -249,7 +249,7 @@ def test_evaluate_at_cli_on_fake_tree(tmp_path, rng, capsys):
                      checkpoints_dir=str(tmp_path / "ckpt"), name="at",
                      output_dir=str(tmp_path / "out"))
     results = evaluate_at_protocol(cfg, proto, max_pairs=1, max_frames=3,
-                                   save_preds=True)
+                                   save_preds=True, save_video=True)
     si = results["self_imitation"]
     assert np.isfinite(si["ssim"]) and np.isfinite(si["psnr"])
     assert results["num_si_frames"] == 3
@@ -257,6 +257,11 @@ def test_evaluate_at_cli_on_fake_tree(tmp_path, rng, capsys):
     assert "capping" in capsys.readouterr().out
     preds = os.listdir(tmp_path / "out" / "self_imitation")
     assert "pred_00000000.jpg" in preds
+    # montage: written when ffmpeg exists, loudly skipped otherwise
+    from impersonator_tpu.utils.video import have_ffmpeg
+    if have_ffmpeg():
+        vis = os.listdir(tmp_path / "out" / "visual" / "self_imitation")
+        assert any(v.endswith(".mp4") for v in vis)
 
 
 def test_evaluate_view_cli_on_fake_tree(tmp_path, rng):
