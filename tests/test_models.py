@@ -168,3 +168,24 @@ def test_instance_norm_matches_torch():
     theirs = tin(torch.from_numpy(x.transpose(0, 3, 1, 2))
                  ).detach().numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_narrow_head_conv_matches_direct():
+    """The space-to-depth phase form of the narrow regress head must
+    equal the direct 'same' conv on both the phase path (H,W % 4 == 0)
+    and the fallback path (indivisible / tiny inputs)."""
+    from impersonator_tpu.models.layers import narrow_head_conv
+
+    rng = np.random.default_rng(7)
+    for shape, cout in [((2, 64, 48, 8), 4), ((1, 30, 28, 8), 3),
+                        ((1, 12, 16, 5), 1)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        k = jnp.asarray(
+            rng.standard_normal((7, 7, shape[-1], cout)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = narrow_head_conv(x, k, force_phase=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5)
